@@ -1,0 +1,83 @@
+"""I/O layer tests: BGZF, GAM codec, GFA parsing."""
+import numpy as np
+import pytest
+
+from vgan_tpu.io import bgzf, gam
+from vgan_tpu.utils import dna
+
+
+def test_bgzf_roundtrip(tmp_path):
+    payload = bytes(range(256)) * 1000
+    p = tmp_path / "x.bgzf"
+    bgzf.write_file(str(p), payload)
+    assert bgzf.read_file(str(p)) == payload
+    # must be valid standard gzip too
+    import gzip
+
+    assert gzip.decompress(p.read_bytes()) == payload
+
+
+def test_read_toy_gam(toy_reads):
+    # test_reads.gam carries the 10 reconstruction fixtures
+    assert len(toy_reads) == 10
+    a = toy_reads[0]
+    assert a.sequence == "CCCCATTTATACCGTGAGTAGGGTCGACCAAGAAC"
+    assert a.name == "perfect_match_plus_strand"
+    assert a.identity != 0
+    assert a.path.mappings[0].position.node_id == 13
+    assert a.path.mappings[0].position.offset == 9
+    assert not a.path.mappings[0].position.is_reverse
+    # minus strand read
+    m = toy_reads[5]
+    assert m.name == "perfect_match_minus_strand"
+    assert m.path.mappings[0].position.is_reverse
+
+
+def test_read_real_gam(ref):
+    reads = gam.read_gam(str(ref / "test/input_files/alignments/J2a1a1a1.gam"))
+    assert len(reads) == 81
+    assert all(r.sequence for r in reads)
+    # qualities are raw phred bytes
+    assert max(max(r.quality) for r in reads if r.quality) <= 93
+
+
+def test_gam_roundtrip(tmp_path, toy_reads):
+    p = tmp_path / "rt.gam"
+    gam.write_gam(str(p), toy_reads)
+    back = gam.read_gam(str(p))
+    assert len(back) == len(toy_reads)
+    for a, b in zip(toy_reads, back):
+        assert a.sequence == b.sequence
+        assert a.name == b.name
+        assert a.quality == b.quality
+        assert a.mapping_quality == b.mapping_quality
+        assert abs(a.identity - b.identity) < 1e-12
+        assert len(a.path.mappings) == len(b.path.mappings)
+        for ma, mb in zip(a.path.mappings, b.path.mappings):
+            assert ma.position.node_id == mb.position.node_id
+            assert ma.position.offset == mb.position.offset
+            assert ma.position.is_reverse == mb.position.is_reverse
+            assert ma.rank == mb.rank
+            assert [
+                (e.from_length, e.to_length, e.sequence) for e in ma.edits
+            ] == [(e.from_length, e.to_length, e.sequence) for e in mb.edits]
+
+
+def test_gfa_parse(toy_graph):
+    g = toy_graph
+    assert g.min_id == 2  # node 1 absent in toy GFA
+    assert g.node_seq(13) == "TGGAGCGCGCCCCATTTATACCGTGAGTAGGG"
+    assert g.node_seq(5) == "AATAATTAG"
+    # reverse orientation
+    assert g.node_seq(16, True) == "A"
+    assert g.n_paths >= 1
+    # path support row for a node on seq_1
+    row = g.path_support[g.node_index(13)]
+    assert row.any()
+
+
+def test_dna_codes():
+    codes = dna.encode("ACGTN-SW")
+    assert list(codes) == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert dna.decode(codes[:7]) == "ACGTN-S"
+    assert dna.revcomp("ACGTN") == "NACGT"

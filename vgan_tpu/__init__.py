@@ -1,0 +1,21 @@
+"""vgan_tpu — a TPU-native pangenome analysis engine.
+
+A from-scratch reimplementation of the capabilities of grenaud/vgan
+(HaploCart, euka, soibean, keelime, gam2prof, duprm) designed for
+JAX/XLA/Pallas on TPU:
+
+* graph + read data live as packed device arrays,
+* per-read x per-path likelihoods are dense matmuls against a
+  node-to-path support bitmatrix (MXU),
+* per-base probability models (ancient-DNA damage, sequencing error,
+  HKY85) are vectorized element-wise passes (VPU),
+* MCMC samplers are `lax.scan` loops with chains vmapped and sharded
+  across devices,
+* read batches shard data-parallel over a `jax.sharding.Mesh`
+  with `psum`/`allgather` reductions over ICI.
+
+Reference behavior is documented per-module with `file:line` citations
+into the vgan source tree.
+"""
+
+__version__ = "0.1.0"
