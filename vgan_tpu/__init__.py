@@ -19,3 +19,11 @@ into the vgan source tree.
 """
 
 __version__ = "0.1.0"
+
+# The reference accumulates likelihoods in `long double`
+# (`src/HaploCart.cpp:297`); we keep float64 available on every backend
+# for the precision-critical reductions (f32/bf16 stay the default for
+# throughput kernels, which request their dtypes explicitly).
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
