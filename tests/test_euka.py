@@ -1,0 +1,159 @@
+"""euka pipeline tests: loaders on the real DB metadata, device scorer
+vs a literal oracle of readGAM3's per-base loop, abundance MCMC."""
+import numpy as np
+import pytest
+
+from vgan_tpu.graph.reconstruct import reconstruct_graph_sequence
+from vgan_tpu.infer.abundance_mcmc import run_mcmc
+from vgan_tpu.models import phred
+from vgan_tpu.models.damage import DamageModel
+from vgan_tpu.pipelines import euka
+
+
+def test_load_real_clade_and_bins(ref):
+    clades = euka.load_clade_info(str(ref / "share/vgan/euka_dir/euka_db.clade"))
+    assert len(clades) > 100
+    assert clades[0].id == 0
+    names = {c.name for c in clades}
+    assert "Bovidae" in names or any("ovidae" in n for n in names)
+    chunks = euka.load_clade_chunks(str(ref / "share/vgan/euka_dir/euka_db.bins"))
+    assert len(chunks) == len(clades)
+    assert all(len(row) >= 5 for row in chunks)
+    # bins are (start <= end, entropy) triplets
+    for row in chunks[:10]:
+        for lo, hi, ent in row:
+            assert lo <= hi
+            assert 0 <= ent <= 2.1
+
+
+def test_damage_model(ref):
+    dm = DamageModel.from_profiles(
+        str(ref / "share/vgan/damageProfiles/dhigh5p.prof"),
+        str(ref / "share/vgan/damageProfiles/dhigh3p.prof"),
+    )
+    m = dm.dinuc(100, 0)  # 5' end of a 100bp fragment
+    assert m[1, 3] == pytest.approx(0.329405)  # C>T from dhigh5p row 0
+    np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-12)
+    m3 = dm.dinuc(100, 99)  # 3' end
+    assert m3[2, 0] == pytest.approx(0.32891)  # G>A from dhigh3p row 0
+    # none -> identity
+    none = DamageModel.none().dinuc(50, 10)
+    np.testing.assert_allclose(none, np.eye(4))
+
+
+def _oracle_score(graph, clades, chunks, a, dm):
+    """Literal transcription of the readGAM3 per-base loop
+    (`src/readGAM_Euka.h:184-492`)."""
+    qscore = phred.qscore_vec()
+    graph_seq, read_seq, _ = reconstruct_graph_sequence(graph, a.path, a.sequence)
+    first = a.path.mappings[0].position.node_id
+    c_n, _ = euka.assign_clade(chunks, first)
+    pd = clades[c_n].dist
+    isrev = a.path.mappings[0].position.is_reverse
+    Lseq = len(a.sequence)
+    n = Lseq - 1 if isrev else 0
+    in_l = not_l = 0.0
+    soft = 0
+    qual = list(a.quality) + [0] * len(graph_seq)
+    for m in range(len(graph_seq)):
+        gb, rb = graph_seq[m], read_seq[m]
+        bq = qual[m]
+        if gb == "N" or rb == "N":
+            ll = l2 = euka.BASE_FREQ_LOG["ACGTN-S?".find(rb) if rb in "ACGTN-S" else 7]
+        elif gb == "-" or rb == "-":
+            ll, l2 = np.log(0.002), np.log(0.2)
+        elif gb in "WMKRYBDHV" or rb in "WMKRYBDHV":
+            ll, l2 = np.log((1 - pd) * 0.001), np.log(0.001)
+        elif gb == "S" or rb == "S":
+            soft += 1
+            q = qscore[bq]
+            ll = np.log(1 - q) if soft % 3 == 0 else np.log(q / 3)
+            l2 = np.log(0.25)
+        else:
+            q = qscore[bq]
+            pre = np.empty(4)
+            for bpo, c in enumerate("ACGT"):
+                pre[bpo] = (1 - pd) if c == gb else pd * euka.T_T_RATIO["ACGT".find(gb), bpo]
+            D = dm.dinuc(min(max(Lseq, 1), 1000), n)
+            post = pre @ D
+            terms = []
+            for bpd, c in enumerate("ACGT"):
+                e = (1 - q) if c == rb else q / 3
+                terms.append(np.log(post[bpd] * e))
+            mx = max(terms)
+            ll = mx + np.log(sum(np.exp(t - mx) for t in terms))
+            l2 = np.log(1 - euka.MODEL2_MISMATCH) if gb == rb else np.log(
+                euka.MODEL2_MISMATCH
+            )
+        in_l += ll
+        not_l += l2
+        if rb != "-":
+            n = n - 1 if isrev else n + 1
+    return in_l, not_l
+
+
+@pytest.fixture(scope="module")
+def toy_clades(toy_graph):
+    clades = [
+        euka.CladeInfo(0, "cladeA", 0.05, 1, toy_graph.min_id, 15),
+        euka.CladeInfo(1, "cladeB", 0.10, 1, 16, toy_graph.max_id),
+    ]
+    chunks = [
+        [(toy_graph.min_id, 10, 1.5), (11, 15, 1.3)],
+        [(16, 22, 1.4), (23, toy_graph.max_id, 1.2)],
+    ]
+    return clades, chunks
+
+
+@pytest.mark.parametrize("dmg", ["none", "high"])
+def test_scorer_matches_oracle(ref, toy_graph, toy_reads, toy_clades, dmg):
+    clades, chunks = toy_clades
+    if dmg == "high":
+        dm = DamageModel.from_profiles(
+            str(ref / "share/vgan/damageProfiles/dhigh5p.prof"),
+            str(ref / "share/vgan/damageProfiles/dhigh3p.prof"),
+        )
+    else:
+        dm = DamageModel.none()
+    scorer = euka.EukaScorer(toy_graph, clades, chunks, damage=dm)
+    batch = [a for a in toy_reads if a.identity != 0]
+    recon = [
+        reconstruct_graph_sequence(toy_graph, a.path, a.sequence) for a in batch
+    ]
+    il, nl = scorer._score_device(batch, recon)
+    for i, a in enumerate(batch):
+        want_in, want_not = _oracle_score(toy_graph, clades, chunks, a, dm)
+        assert il[i] == pytest.approx(want_in, rel=1e-9), a.name
+        assert nl[i] == pytest.approx(want_not, rel=1e-9), a.name
+
+
+def test_full_scoring_and_detection(toy_graph, toy_reads, toy_clades):
+    clades, chunks = toy_clades
+    scorer = euka.EukaScorer(toy_graph, clades, chunks)
+    res = scorer.score(toy_reads, min_mq=1, min_frag=1, min_bins=1, max_bins=2,
+                       entropy_threshold=1.0)
+    assert res.n_mapped.sum() == len([a for a in toy_reads if a.identity != 0])
+    assert res.counts.sum() >= 1
+    assert res.baseshift.sum() > 0
+
+
+def test_abundance_mcmc_recovers_proportions():
+    # two taxa with 300 and 100 high-confidence reads
+    n = np.array([300, 100])
+    slog = np.array([300 * np.log(0.95), 100 * np.log(0.95)])
+    init = np.array([0.5, 0.5])
+    res = run_mcmc(n, slog, init, n_iter=8000, burnin=100, seed=1)
+    # posterior should concentrate near (0.75, 0.25)
+    assert res.estimate[0] == pytest.approx(0.75, abs=0.06)
+    assert res.estimate[1] == pytest.approx(0.25, abs=0.06)
+    assert res.ci95[0, 0] < res.estimate[0] < res.ci95[0, 1]
+
+
+def test_mcmc_handles_zero_likes():
+    # a taxon containing an MQ-0 read has clade_like 0 -> sum log = -inf;
+    # the reference then never accepts but still records proposals
+    n = np.array([10, 10])
+    slog = np.array([-np.inf, 10 * np.log(0.9)])
+    init = np.array([0.6, 0.4])
+    res = run_mcmc(n, slog, init, n_iter=500, burnin=50, seed=0)
+    assert np.isfinite(res.estimate).all()

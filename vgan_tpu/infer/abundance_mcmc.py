@@ -1,0 +1,112 @@
+"""euka's abundance MCMC as a jax scan.
+
+Metropolis-Hastings on the abundance simplex, reimplementing
+`MCMC::run` / `generate_proposal` / `get_proposal_likelihood`
+(`src/MCMC.cpp:1095-1366`) with its exact effective semantics:
+
+* proposal: componentwise Normal(log x, alpha=0.1) then softmax
+  (`src/MCMC.cpp:1139-1153`).
+* likelihood: sum over taxa of sum over that taxon's *mapped* reads of
+  ``log(frac_t * clade_like[k] + clade_not_like[k] * (1/334))`` — and
+  ``(1/334)`` is C++ integer division == 0 (`src/MCMC.cpp:1193`), so it
+  collapses to ``n_t * log(frac_t) + sum_k log(clade_like[k])``.
+  The first (dummy 0.0) element of each clade_like vector is skipped
+  (loop starts at k=1, `src/MCMC.cpp:1192`) — our inputs exclude it.
+* QUIRK: during burn-in the loop `continue`s before the accept step
+  (`src/MCMC.cpp:1251-1260`), so the state never moves until
+  iteration > burnin; the recorded samples are the post-burn-in
+  *proposals* (recorded before accept/reject, `src/MCMC.cpp:1253-1254`).
+* posterior summary: per-taxon median + 85%/95% linear-interpolated
+  quantiles over the recorded proposals (`src/MCMC.cpp:1311-1361`,
+  `quant` from `src/miscfunc.h:239-251`).
+
+The RNG is counter-based (threefry); the reference seeds from
+std::random_device and its tests assert only statistical windows
+(SURVEY.md §7 "RNG parity"), so stream-level parity is not required.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class AbundanceResult(NamedTuple):
+    estimate: np.ndarray  # [T] posterior median
+    ci85: np.ndarray  # [T, 2]
+    ci95: np.ndarray  # [T, 2]
+    samples: np.ndarray  # [n_recorded, T]
+
+
+def _proposal_and_loglik(key, current, alpha, n_reads_f, const_ll):
+    z = jax.random.normal(key, current.shape, dtype=current.dtype)
+    prop = jax.nn.softmax(jnp.log(current) + alpha * z)
+    # sum_t n_t * log(frac_t) + const   (const = sum log clade_like)
+    ll = jnp.sum(n_reads_f * jnp.log(prop)) + const_ll
+    return prop, ll
+
+
+def run_mcmc(
+    n_reads_per_taxon: np.ndarray,
+    sum_log_like_per_taxon: np.ndarray,
+    init_vec: np.ndarray,
+    n_iter: int = 10000,
+    burnin: int = 100,
+    alpha: float = 0.1,
+    seed: int = 0,
+) -> AbundanceResult:
+    """n_reads_per_taxon: number of mapped reads per detected taxon
+    (size of clade_like minus the dummy element); sum_log_like_per_taxon:
+    sum of log(clade_like[k]) (-inf if any like is 0, reproducing the
+    reference's log(0) behavior — proposals are then never accepted but
+    still recorded)."""
+    T = len(init_vec)
+    n_reads_f = jnp.asarray(n_reads_per_taxon, jnp.float64)
+    const_ll = jnp.asarray(np.sum(sum_log_like_per_taxon), jnp.float64)
+    init = jnp.asarray(init_vec, jnp.float64)
+
+    def step(carry, key):
+        current, cur_ll = carry
+        kp, ku = jax.random.split(key)
+        prop, prop_ll = _proposal_and_loglik(kp, current, alpha, n_reads_f, const_ll)
+        u = jax.random.uniform(ku, dtype=jnp.float64)
+        accept = u <= jnp.minimum(1.0, jnp.exp(prop_ll - cur_ll))  # NaN -> False
+        new = jnp.where(accept, prop, current)
+        new_ll = jnp.where(accept, prop_ll, cur_ll)
+        return (new, new_ll), prop  # record the PROPOSAL (reference quirk)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_iter)
+
+    # burn-in: proposals generated but never accepted (reference quirk);
+    # state stays at init. We emulate by starting the chain at init with
+    # -inf-ish likelihood from iteration burnin+1 onward.
+    @jax.jit
+    def run(keys):
+        (final, _), samples = jax.lax.scan(
+            step, (init, jnp.float64(-9999999.0)), keys[burnin + 1 :]
+        )
+        return samples
+
+    samples = np.asarray(run(keys))
+
+    est = np.empty(T)
+    ci85 = np.empty((T, 2))
+    ci95 = np.empty((T, 2))
+    for t in range(T):
+        s = np.sort(samples[:, t])
+        est[t] = s[len(s) // 2]
+        ci85[t] = [_quant(s, 0.15), _quant(s, 0.85)]
+        ci95[t] = [_quant(s, 0.05), _quant(s, 0.95)]
+    return AbundanceResult(est, ci85, ci95, samples)
+
+
+def _quant(sorted_x: np.ndarray, q: float) -> float:
+    """`quant` from `src/miscfunc.h:239-251` (linear interpolation)."""
+    n = len(sorted_x)
+    idx = (n - 1) * q
+    lo = int(np.floor(idx))
+    hi = int(np.ceil(idx))
+    h = idx - lo
+    return float((1.0 - h) * sorted_x[lo] + h * sorted_x[hi])
