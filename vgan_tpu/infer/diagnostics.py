@@ -1,0 +1,69 @@
+"""Chain statistics: ESS, autocorrelation, quantiles, Gelman-Rubin.
+
+Mirrors `src/miscfunc.h:12-66` (mean/variance/autocorrelation/ESS with
+the reference's paired-lag loop), `getQuantile2` (`src/MCMC.h:447-465`)
+and `soibean::calculateRhat` (`src/soibean.cpp:175-202`).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def mean(v: np.ndarray) -> float:
+    return float(np.mean(v))
+
+
+def variance(v: np.ndarray, m: float) -> float:
+    # sample variance with n-1 (`src/miscfunc.h:17-24`)
+    d = np.asarray(v, dtype=np.float64) - m
+    return float((d * d).sum() / (len(v) - 1))
+
+
+def autocorrelation(v: np.ndarray, k: int) -> float:
+    v = np.asarray(v, dtype=np.float64)
+    m = v.mean()
+    denom = variance(v, m)
+    numer = float(((v[: len(v) - k] - m) * (v[k:] - m)).sum())
+    return numer / ((len(v) - k) * denom)
+
+
+def effective_sample_size(v: np.ndarray) -> float:
+    """Paired-lag initial-positive-sequence ESS (`src/miscfunc.h:40-66`)."""
+    v = np.asarray(v, dtype=np.float64)
+    n = len(v)
+    max_lag = n // 2
+    rho_even = 1.0
+    rho_odd = autocorrelation(v, 1)
+    rho_tot = rho_even + rho_odd
+    t = 1
+    while t < max_lag - 2 and rho_even + rho_odd > 0:
+        rho_even = autocorrelation(v, t + 1)
+        rho_odd = autocorrelation(v, t + 2)
+        rho_tot += 2.0 * (rho_even + rho_odd)
+        t += 2
+    if rho_even + rho_odd < 0:
+        rho_tot -= rho_even + rho_odd
+    return n / (1.0 + rho_tot)
+
+
+def quantile(sorted_x: np.ndarray, q: float) -> float:
+    n = len(sorted_x)
+    idx = (n - 1) * q
+    lo = int(np.floor(idx))
+    hi = int(np.ceil(idx))
+    if lo == hi:
+        return float(sorted_x[lo])
+    frac = idx - lo
+    return float((1.0 - frac) * sorted_x[lo] + frac * sorted_x[hi])
+
+
+def rhat(means: np.ndarray, variances: np.ndarray, chain_length: int) -> float:
+    """Gelman-Rubin across chains; -1 for a single chain."""
+    m = len(means)
+    if m < 2:
+        return -1.0
+    W = float(np.mean(variances))
+    grand = float(np.mean(means))
+    B = float(((np.asarray(means) - grand) ** 2).sum()) * chain_length / (m - 1)
+    var_est = ((chain_length - 1.0) * W + B) / chain_length
+    return float(np.sqrt(var_est / W))

@@ -1,0 +1,380 @@
+"""soibean's tree MCMC as a jax scan with vmapped chains.
+
+Reimplements `MCMC::run_tree_proportion` (`src/MCMC.cpp:522-1088`),
+`MCMC::updatePosition` (`src/MCMC.cpp:169-469`) and
+`MCMC::computeBaseLogLike` (`src/MCMC.h:111-296`) on device:
+
+* state per source: tree node, branch position in (0,1), proportion.
+* proposals: branch-position random walk N(0, sd) with the reference's
+  tree-traversal semantics (cross into children / parent / siblings,
+  leaf and root bounces), annealed sd schedule (precomputed per
+  iteration: burn-in linear decay initSD -> 0.1, then 0.1 -> 1e-5 with
+  a reset to 1 every 100k iterations, `src/MCMC.cpp:544-596`);
+  proportions via truncated N(theta, 0.1) on [0,1] renormalized
+  (QUIRK: `sample_normal` ignores its alpha argument and uses 0.1,
+  `src/MCMC.cpp:500`).
+* likelihood: per source y with child path c and parent path p,
+  t = dist[c] (1e-5 at the root), t1 = pos*t, t2 = t - t1:
+    LL_c[r] = path_map[r,c] + counts25[r,c] . hky25(t2)
+    LL_p[r] = path_map[r,p] + counts25[r,p] . hky25(t1)
+    read LL  = logsumexp_y( log theta_y
+                + logaddexp(log pos_y + LL_c, log(1-pos_y) + LL_p) )
+  (k=1 uses theta=1, which reduces to the reference's
+  calculateLogWeightedAverage since the weights sum to 1).
+* HKY85 closed form with the reference's quirks: kappa = 1/22 integer
+  division == 0, |jut1 - jut11| absolute difference for transition
+  mismatches, 1e-8 floors, log(0.999999999) positive-clamp.
+* recording: iterations > burn record the PRE-update state on both
+  accept and reject (`src/MCMC.cpp:1022-1079`); iteration 0 is a
+  forced accept; the loop runs maxIter+1 times.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+F = jnp.float64
+
+
+class TreeArrays(NamedTuple):
+    parent: jnp.ndarray  # [N] int32, -1 at root
+    dist: jnp.ndarray  # [N] f64
+    children: jnp.ndarray  # [N, C] int32, -1 padded
+    n_children: jnp.ndarray  # [N] int32
+
+
+class MCMCTrace(NamedTuple):
+    node: np.ndarray  # [iters, k]
+    pos: np.ndarray  # [iters, k]
+    theta: np.ndarray  # [iters, k]
+    loglike: np.ndarray  # [iters]
+
+
+def hky25(t, con, freqs: Dict[str, float]):
+    """[25] log-likelihood vector over (graph-class, read-class) pairs,
+    classes {A,C,G,T,other}. Mirrors computeBaseLogLike exactly."""
+    fA, fC, fG, fT = freqs["A"], freqs["C"], freqs["G"], freqs["T"]
+    R, Y, mu = freqs["R"], freqs["Y"], freqs["M"]
+    f = jnp.array([fA, fC, fG, fT], dtype=F)
+    kappa = 0.0  # QUIRK: double kappa = 1/22 (int division) `src/MCMC.h:66`
+    AR = 1.0 + R * (kappa - 1.0)
+    AY = 1.0 + Y * (kappa - 1.0)
+    emt = jnp.exp(-(mu * t))
+
+    purine = jnp.array([True, False, True, False])
+    grp_f = jnp.where(purine, R, Y)  # purine/pyrimidine group freq
+    grp_A = jnp.where(purine, AR, AY)
+    e_grp = jnp.exp(-(mu * t * grp_A))
+
+    # match: bpo == refb
+    jut1_m = f + f * (1.0 / grp_f - 1.0) * emt
+    jut11_m = ((grp_f - f) / grp_f) * e_grp
+    p_match = jnp.maximum(jut1_m + jut11_m, 1e-8)  # [4], value for bpo==ref
+
+    # transition mismatch (A<->G / C<->T): value for bpo given refb=partner
+    jut1_t = f + f * (1.0 / grp_f - 1.0) * emt
+    jut11_t = (f / grp_f) * e_grp
+    p_transition = jnp.maximum(jnp.abs(jut1_t - jut11_t), 1e-8)  # [4]
+
+    # transversion / "trash": f[bpo] * (1 - e^{-mu t})
+    p_other = jnp.maximum(f * (1.0 - emt), 1e-8)  # [4]
+
+    partner = jnp.array([2, 3, 0, 1])  # A<->G, C<->T
+
+    def P_for_ref(refb):
+        bpo = jnp.arange(4)
+        return jnp.where(
+            bpo == refb,
+            p_match,
+            jnp.where(bpo == partner[refb], p_transition, p_other),
+        )
+
+    P_acgt = jax.vmap(P_for_ref)(jnp.arange(4))  # [ref 4, bpo 4]
+    P_rare = p_other[None, :]  # graph-class 'other': all trash branch
+    P = jnp.concatenate([P_acgt, P_rare], axis=0)  # [5, 4]
+
+    log_con_match = jnp.log1p(-con)
+    log_con_mis = jnp.log(con / 3.0)
+
+    def marg_for_read(rc):
+        w = jnp.where(jnp.arange(4) == rc, log_con_match, log_con_mis)
+        return jax.scipy.special.logsumexp(jnp.log(P) + w[None, :], axis=1)
+
+    m_acgt = jax.vmap(marg_for_read, out_axes=1)(jnp.arange(4))  # [5, 4]
+    m_rare = jax.scipy.special.logsumexp(jnp.log(P) + log_con_mis, axis=1)
+    m = jnp.concatenate([m_acgt, m_rare[:, None]], axis=1)  # [5 graph, 5 read]
+    m = jnp.where(m > 1e-8, jnp.log(0.999999999), m)
+    return m.reshape(25)
+
+
+# ---------------------------------------------------------------------------
+# tree walk (updatePosition)
+# ---------------------------------------------------------------------------
+def _pick_child(key, tree: TreeArrays, node):
+    nc = jnp.maximum(tree.n_children[node], 1)
+    j = jax.random.randint(key, (), 0, nc)
+    return tree.children[node, j]
+
+
+def update_position(key, tree: TreeArrays, node, pos, move, forward):
+    """One proposal move of `move` (>0) in direction `forward`."""
+
+    def cond(c):
+        _k, _n, _p, d, _f, it = c
+        return (d > 0.0) & (it < 300)
+
+    def body(c):
+        key, node, pos, d, fwd, it = c
+        key, k1, k2 = jax.random.split(key, 3)
+        is_leaf = tree.n_children[node] == 0
+        par = tree.parent[node]
+        is_root = par < 0
+
+        # ---------------- forward ----------------
+        f_stay = pos + d < 1.0
+        # stay on branch
+        f1_pos, f1_d, f1_node, f1_fwd = pos + d, 0.0, node, fwd
+        # leaf bounce: flip direction, keep d
+        f2_pos, f2_d, f2_node, f2_fwd = pos, d, node, False
+        # cross into a random child
+        rem = jnp.maximum(d - (1.0 - pos), 0.0)
+        child = _pick_child(k1, tree, node)
+        f3_pos = jnp.where(rem > 1.0, 1.0, rem)
+        f3_d = jnp.where(rem > 1.0, rem - 1.0, 0.0)
+        f3_node, f3_fwd = child, fwd
+
+        fw_pos = jnp.where(f_stay, f1_pos, jnp.where(is_leaf, f2_pos, f3_pos))
+        fw_d = jnp.where(f_stay, f1_d, jnp.where(is_leaf, f2_d, f3_d))
+        fw_node = jnp.where(f_stay, f1_node, jnp.where(is_leaf, f2_node, f3_node))
+        fw_fwd = jnp.where(f_stay, f1_fwd, jnp.where(is_leaf, f2_fwd, f3_fwd))
+
+        # ---------------- backward ----------------
+        b_stay = pos - d > 0.0
+        b1_pos, b1_d, b1_node, b1_fwd = pos - d, 0.0, node, fwd
+
+        # root bounce: flip direction, hop to a random child, keep d/pos
+        root_child = _pick_child(k1, tree, node)
+        b2_pos, b2_d, b2_node, b2_fwd = pos, d, root_child, True
+
+        # choose parent or a sibling: possible = [parent] (+ siblings if
+        # this node is internal, `src/MCMC.cpp:320-330`)
+        nsib = jnp.where(is_leaf, 0, jnp.maximum(tree.n_children[par], 1) - 1)
+        n_possible = 1 + nsib
+        pick = jax.random.randint(k1, (), 0, jnp.maximum(n_possible, 1))
+        chose_parent = pick == 0
+
+        # parent move
+        remb = jnp.maximum(d - pos, 0.0)
+        bp_pos = jnp.where(remb > 1.0, 0.0, jnp.clip(1.0 - remb, 1e-12, 1.0))
+        bp_d = jnp.where(remb > 1.0, remb - 1.0, 0.0)
+        bp_node = par
+        bp_fwd = fwd  # stays backward
+
+        # sibling move: position of node among parent's children
+        sib_j = pick - 1
+        kids = tree.children[par]
+        self_pos = jnp.argmax(kids == node)
+        sib_idx = sib_j + (sib_j >= self_pos)
+        sibling = kids[jnp.clip(sib_idx, 0, kids.shape[0] - 1)]
+        rems = d - pos  # remaining after reaching the junction
+        s_stay = rems < 1.0
+        sib_leaf = tree.n_children[sibling] == 0
+        # cross into a random child of the sibling
+        rems2 = jnp.maximum(d - 1.0, 0.0)  # d - (1 - 0) per `src/MCMC.cpp:420`
+        sib_child = _pick_child(k2, tree, sibling)
+        bs_pos = jnp.where(
+            s_stay,
+            jnp.maximum(rems, 0.0),
+            jnp.where(sib_leaf, 0.0, jnp.where(rems2 > 1.0, 1.0, rems2)),
+        )
+        bs_d = jnp.where(
+            s_stay, 0.0, jnp.where(sib_leaf, d, jnp.where(rems2 > 1.0, rems2 - 1.0, 0.0))
+        )
+        bs_node = jnp.where(s_stay, sibling, jnp.where(sib_leaf, sibling, sib_child))
+        bs_fwd = jnp.where(s_stay, True, jnp.where(sib_leaf, False, True))
+
+        bw_pos = jnp.where(
+            b_stay, b1_pos,
+            jnp.where(is_root, b2_pos, jnp.where(chose_parent, bp_pos, bs_pos)),
+        )
+        bw_d = jnp.where(
+            b_stay, b1_d,
+            jnp.where(is_root, b2_d, jnp.where(chose_parent, bp_d, bs_d)),
+        )
+        bw_node = jnp.where(
+            b_stay, b1_node,
+            jnp.where(is_root, b2_node, jnp.where(chose_parent, bp_node, bs_node)),
+        )
+        bw_fwd = jnp.where(
+            b_stay, b1_fwd,
+            jnp.where(is_root, b2_fwd, jnp.where(chose_parent, bp_fwd, bs_fwd)),
+        )
+
+        pos2 = jnp.where(fwd, fw_pos, bw_pos)
+        d2 = jnp.where(fwd, fw_d, bw_d)
+        node2 = jnp.where(fwd, fw_node, bw_node)
+        fwd2 = jnp.where(fwd, fw_fwd, bw_fwd)
+        return (key, node2.astype(jnp.int32), pos2, d2, fwd2, it + 1)
+
+    key, node, pos, d, fwd, _ = jax.lax.while_loop(
+        cond, body, (key, node, pos, move, forward, 0)
+    )
+    return node, pos
+
+
+# ---------------------------------------------------------------------------
+# main sampler
+# ---------------------------------------------------------------------------
+def sd_schedule(max_iter: int, burn: int, num_paths: int) -> np.ndarray:
+    """Annealed proposal sd per iteration (`src/MCMC.cpp:544-596`)."""
+    init_sd = 3.0 if num_paths <= 30 else num_paths * (3.0 / 30.0)
+    step = (init_sd - 0.1) / max(1, burn - 1)
+    step2 = (0.1 - 1e-5) / max(1, (max_iter - burn) - 1)
+    it = np.arange(max_iter + 1, dtype=np.float64)
+    sd = np.where(
+        it < burn,
+        np.maximum(1e-5, init_sd - it * step),
+        np.maximum(1e-5, 0.1 - (it - burn) * step2),
+    )
+    sd[(it % 100000 == 0) & (it >= burn)] = 1.0
+    return sd
+
+
+@partial(jax.jit, static_argnames=("max_iter", "burn"))
+def _run_chain(
+    key,
+    init_nodes,  # [k] int32
+    path_map,  # [R, P]
+    counts25,  # [R, P, 25]
+    tree_parent,
+    tree_dist,
+    tree_children,
+    tree_nchildren,
+    sd,  # [max_iter+1]
+    con,
+    freq_arr,  # [7]: A C G T R Y M
+    init_loglike,
+    max_iter: int,
+    burn: int,
+):
+    tree = TreeArrays(tree_parent, tree_dist, tree_children, tree_nchildren)
+    k = init_nodes.shape[0]
+    freqs = {
+        n: freq_arr[i] for i, n in enumerate(["A", "C", "G", "T", "R", "Y", "M"])
+    }
+
+    def log_like(nodes, pos, theta):
+        par = tree.parent[nodes]
+        par = jnp.where(par < 0, nodes, par)
+        t = tree.dist[nodes]
+        t = jnp.where(t == 0.0, 1e-5, t)
+        t1 = pos * t
+        t2 = t - t1
+
+        def source_ll(c, p, t1_y, t2_y, pos_y):
+            h_c = hky25(t2_y, con, freqs)
+            h_p = hky25(t1_y, con, freqs)
+            llc = path_map[:, c] + counts25[:, c, :] @ h_c
+            llp = path_map[:, p] + counts25[:, p, :] @ h_p
+            return jnp.logaddexp(jnp.log(pos_y) + llc, jnp.log1p(-pos_y) + llp)
+
+        per_src = jax.vmap(source_ll)(nodes, par, t1, t2, pos)  # [k, R]
+        inter = jax.scipy.special.logsumexp(
+            per_src + jnp.log(theta)[:, None], axis=0
+        )
+        return inter.sum()
+
+    def step(carry, inp):
+        key, nodes, pos, theta, cur_ll = carry
+        it, sd_it = inp
+        key, kd, kw, kt, ku = jax.random.split(key, 5)
+
+        # branch-position proposal (skipped at iteration 0)
+        deltas = jax.random.normal(kd, (k,), dtype=F) * sd_it
+        walk_keys = jax.random.split(kw, k)
+
+        def walk_one(wk, n, p, d):
+            return update_position(wk, tree, n, p, jnp.abs(d), d >= 0)
+
+        new_nodes, new_pos = jax.vmap(walk_one)(walk_keys, nodes, pos, deltas)
+        new_nodes = jnp.where(it == 0, nodes, new_nodes)
+        new_pos = jnp.where(it == 0, pos, new_pos)
+        new_pos = jnp.clip(new_pos, 1e-12, 1.0 - 1e-10)
+
+        # proportion proposal: truncated N(theta, 0.1) on [0,1], renorm
+        lo = (0.0 - theta) / 0.1
+        hi = (1.0 - theta) / 0.1
+        z = jax.random.truncated_normal(kt, lo, hi, (k,), dtype=F)
+        new_theta = theta + 0.1 * z
+        new_theta = new_theta / new_theta.sum()
+
+        prop_ll = log_like(new_nodes, new_pos, new_theta)
+        accept = (
+            jax.random.uniform(ku, dtype=F)
+            <= jnp.minimum(1.0, jnp.exp(prop_ll - cur_ll))
+        ) | (it == 0)
+
+        # record PRE-update state (reference records state_t)
+        rec = (nodes, pos, theta, cur_ll)
+
+        nodes = jnp.where(accept, new_nodes, nodes)
+        pos = jnp.where(accept, new_pos, pos)
+        theta = jnp.where(accept, new_theta, theta)
+        cur_ll = jnp.where(accept, prop_ll, cur_ll)
+        return (key, nodes, pos, theta, cur_ll), rec
+
+    init_pos = jnp.full((k,), 0.5, dtype=F)
+    init_theta = jax.random.dirichlet(
+        jax.random.fold_in(key, 17), jnp.ones(k, dtype=F)
+    )  # uniform random normalized start (`MCMC.h generateRandomNumbers`)
+    iters = jnp.arange(max_iter + 1)
+    carry0 = (key, init_nodes, init_pos, init_theta, jnp.asarray(init_loglike, F))
+    _, (rn, rp, rt, rl) = jax.lax.scan(step, carry0, (iters, jnp.asarray(sd)))
+    # keep iterations > burn (the reference records those)
+    return rn[burn + 1 :], rp[burn + 1 :], rt[burn + 1 :], rl[burn + 1 :]
+
+
+def run_tree_mcmc(
+    tree,
+    stats_path_map: np.ndarray,
+    stats_counts25: np.ndarray,
+    sources: np.ndarray,
+    freqs: Dict[str, float],
+    con: float,
+    max_iter: int,
+    burn: int,
+    num_paths: int,
+    init_loglike: float,
+    seed: int = 0,
+) -> MCMCTrace:
+    """Run one chain; chains are run with different seeds/sources by the
+    driver (vmap over chains is possible but chains use different
+    source inits, so we map at the host level)."""
+    sd = sd_schedule(max_iter, burn, num_paths)
+    freq_arr = jnp.asarray(
+        [freqs[n] for n in ["A", "C", "G", "T", "R", "Y", "M"]], F
+    )
+    rn, rp, rt, rl = _run_chain(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(sources, jnp.int32),
+        jnp.asarray(stats_path_map, F),
+        jnp.asarray(stats_counts25, F),
+        jnp.asarray(tree.parent, jnp.int32),
+        jnp.asarray(tree.dist, F),
+        jnp.asarray(tree.children, jnp.int32),
+        jnp.asarray(tree.n_children, jnp.int32),
+        sd,
+        jnp.asarray(con, F),
+        freq_arr,
+        init_loglike,
+        max_iter=max_iter,
+        burn=burn,
+    )
+    return MCMCTrace(
+        node=np.asarray(rn), pos=np.asarray(rp), theta=np.asarray(rt),
+        loglike=np.asarray(rl),
+    )
