@@ -1,0 +1,119 @@
+"""Multi-chip sharding of the pipeline steps.
+
+The reference's only parallel structure is OpenMP threads + fork/FIFO
+pipelines on one host (`src/HaploCart.cpp:313-383`, SURVEY.md §2.9).
+The TPU-native layout:
+
+* **dp** (data parallel): read/mapping batches shard across chips;
+  per-node accumulators and per-path log-likelihood vectors merge with
+  `psum` over ICI.
+* **tp** (tensor parallel): the node->path support matrix shards along
+  the path axis; each chip computes its slice of final_vec and the
+  argmax is taken over the gathered vector.
+* MCMC chains map across chips (chain parallelism) — see
+  infer/tree_mcmc.py; chain statistics merge host-side.
+
+Everything compiles against an abstract `jax.sharding.Mesh`, so the
+same code runs on one chip, a v5e slice, or a CPU mesh in tests.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..pipelines.haplocart_device import HcBatch, HcTables, mapping_scores
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
+              tp: int = 1) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    if dp is None:
+        dp = len(devs) // tp
+    arr = np.array(devs[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def sharded_score_fn(mesh: Mesh):
+    """Build the pjit-ed haplocart scoring step over (dp, tp):
+    mappings shard over dp, the support matrix (and final_vec) over tp;
+    the per-node accumulator merges with psum over ICI (dp)."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            HcBatch(
+                g=P("dp", None), r=P("dp", None), q=P("dp", None),
+                pang=P("dp"), mq=P("dp"), b=P("dp"), node=P("dp"),
+                valid=P("dp", None),
+            ),
+            HcTables(
+                match_tab=P(), mapp_tab=P(), qtab=P(), imtab=P(), bg=P(),
+                support=P(None, "tp"),
+            ),
+        ),
+        out_specs=P("tp"),
+        check_vma=False,
+    )
+    def step(batch: HcBatch, t: HcTables):
+        A = mapping_scores(batch, t)
+        d = A - batch.b
+        n_nodes = t.support.shape[0]
+        c = jax.ops.segment_sum(d, batch.node, num_segments=n_nodes)
+        c = jax.lax.psum(c, "dp")
+        total_b = jax.lax.psum(batch.b.sum(), "dp")
+        return total_b + c @ t.support
+
+    return jax.jit(step)
+
+
+def shard_batch(batch: HcBatch, mesh: Mesh) -> HcBatch:
+    """Pad the mapping axis to the dp size and device_put with dp
+    sharding."""
+    dp = mesh.shape["dp"]
+    M = batch.g.shape[0]
+    pad = (-M) % dp
+
+    def prep(x, spec):
+        if pad:
+            width = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            x = jnp.pad(x, width)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return HcBatch(
+        g=prep(batch.g, P("dp", None)),
+        r=prep(batch.r, P("dp", None)),
+        q=prep(batch.q, P("dp", None)),
+        pang=prep(batch.pang, P("dp")),
+        mq=prep(batch.mq, P("dp")),
+        b=prep(batch.b, P("dp")),
+        # padded mappings scatter into node 0 with zero weight (b=0,A=0)
+        node=prep(batch.node, P("dp")),
+        valid=prep(batch.valid, P("dp", None)),
+    )
+
+
+def shard_tables(t: HcTables, mesh: Mesh) -> HcTables:
+    tp = mesh.shape["tp"]
+    n_paths = t.support.shape[1]
+    pad = (-n_paths) % tp
+    support = t.support
+    if pad:
+        support = jnp.pad(support, ((0, 0), (0, pad)))
+    rep = NamedSharding(mesh, P())
+    return HcTables(
+        match_tab=jax.device_put(t.match_tab, rep),
+        mapp_tab=jax.device_put(t.mapp_tab, rep),
+        qtab=jax.device_put(t.qtab, rep),
+        imtab=jax.device_put(t.imtab, rep),
+        bg=jax.device_put(t.bg, rep),
+        support=jax.device_put(support, NamedSharding(mesh, P(None, "tp"))),
+    )
