@@ -1,0 +1,95 @@
+"""Mapper tests: oracle = vg giraffe's own output on the bundled toy
+fixture (test_reads.gam was produced by `vg giraffe` with -k 20 -w 10,
+`test/reconstructInputSeq/cmds:17-21`). Our mapper must reproduce the
+same alignments (validated through the reconstruction goldens)."""
+import numpy as np
+import pytest
+
+from vgan_tpu.graph.reconstruct import reconstruct_graph_sequence
+from vgan_tpu.io import fastx
+from vgan_tpu.mapper import minimizer as mz
+from vgan_tpu.mapper.align import smith_waterman
+from vgan_tpu.mapper.giraffe import Mapper
+from vgan_tpu.utils import dna
+
+
+def test_minimizer_basics():
+    codes = dna.encode("ACGTACGTACGTACGTACGTAAACCCGGGTTT")
+    pos, hashes, rc = mz.minimizers(codes, k=5, w=3)
+    assert len(pos) > 0
+    assert (np.diff(pos) > 0).all()
+    # canonical: sequence and its revcomp sample the same hash set
+    pos2, hashes2, rc2 = mz.minimizers(dna.revcomp_codes(codes), k=5, w=3)
+    assert set(hashes) == set(hashes2)
+
+
+def test_sw_perfect_and_mismatch():
+    ref = dna.encode("ACGTACGTAAACCCGGGTTTACGT")
+    aln = smith_waterman(ref[4:20], ref)
+    assert aln.read_start == 0 and aln.read_end == 16
+    assert aln.ref_start == 4 and aln.ref_end == 20
+    assert aln.cigar == [("M", 16)]
+    # single mismatch
+    q = ref[4:20].copy()
+    q[8] = (q[8] + 1) % 4
+    aln2 = smith_waterman(q, ref)
+    assert aln2.ref_start == 4 and aln2.ref_end == 20
+    ops = [op for op, _ in aln2.cigar]
+    assert "X" in ops
+
+
+def test_sw_indel():
+    ref = dna.encode("ACGTACGTAAACCCGGGTTTACGTACGTGGCCA")
+    # deletion of 3 bases from the read
+    q = np.concatenate([ref[2:12], ref[15:30]])
+    aln = smith_waterman(q, ref)
+    assert ("D", 3) in aln.cigar
+    # insertion of 4 bases into the read
+    ins = dna.encode("TTTT")
+    q2 = np.concatenate([ref[2:12], ins, ref[12:30]])
+    aln2 = smith_waterman(q2, ref)
+    assert ("I", 4) in aln2.cigar
+
+
+@pytest.fixture(scope="module")
+def toy_mapper(toy_graph):
+    return Mapper(toy_graph, k=20, w=10)
+
+
+def test_map_toy_reads_match_giraffe(toy_mapper, toy_graph, ref, toy_reads):
+    """Map the fixture reads and compare alignments against giraffe's
+    GAM via the reconstructed aligned strings."""
+    reads = fastx.read_fastq(str(ref / "test/reconstructInputSeq/test_reads.fq"))
+    by_name = {a.name: a for a in toy_reads}
+    n_checked = 0
+    for r in reads:
+        ours = toy_mapper.map_read(r)
+        theirs = by_name.get(r.name)
+        if theirs is None or theirs.identity == 0:
+            continue
+        assert ours.identity != 0, f"{r.name} unmapped by our mapper"
+        g_ours, r_ours, _ = reconstruct_graph_sequence(
+            toy_graph, ours.path, ours.sequence
+        )
+        g_ref, r_ref, _ = reconstruct_graph_sequence(
+            toy_graph, theirs.path, theirs.sequence
+        )
+        # aligned core must agree; softclip annotation may differ in
+        # S-vs-'-' markers only at the very start (reference quirk)
+        assert r_ours == r_ref, r.name
+        assert g_ours.replace("S", "-") == g_ref.replace("S", "-"), r.name
+        # strand agreement
+        assert (
+            ours.path.mappings[0].position.is_reverse
+            == theirs.path.mappings[0].position.is_reverse
+        ), r.name
+        n_checked += 1
+    assert n_checked == 10
+
+
+def test_mq_and_scores(toy_mapper, ref):
+    reads = fastx.read_fastq(str(ref / "test/reconstructInputSeq/test_reads.fq"))
+    for r in reads:
+        a = toy_mapper.map_read(r)
+        assert 0 <= a.mapping_quality <= 60
+        assert a.score > 0

@@ -1,0 +1,329 @@
+"""Haplotype-constrained read mapper (giraffe-equivalent pipeline).
+
+Stages (SURVEY.md §2.2 "TPU equivalent"):
+  1. sketch: (w,k)-minimizers of the read (mapper/minimizer.py)
+  2. seed:   index lookup -> (path, strand, diagonal) hits
+  3. cluster: group seeds per (path, strand) within a diagonal band
+  4. extend: banded affine SW of the (oriented) read against the
+     candidate path window (mapper/align.py; Pallas batch scorer in
+     mapper/sw_pallas.py for the heavy phase)
+  5. select: best alignment after node-projection dedup; mapping
+     quality from the best-vs-second score gap
+  6. project: path interval -> per-node GAM mappings with edits
+     (softclips as boundary insertions, exactly the structures
+     `reconstruct_graph_sequence` consumes)
+
+Like vg giraffe, alignment is haplotype-constrained: candidates are
+windows of the stored haplotype paths, which is giraffe's GBWT
+restriction in explicit form (`src/map_giraffe.cpp:24-164` invokes
+giraffe with -H/-Z haplotype indexes).
+
+Mapping quality is a score-gap approximation of giraffe's cap
+(mq = min(60, 6.23 * (best - second)); 60 when unique) — the reference
+pipelines only consume MQ through 10^(-MQ/10) weights and >29/30
+filters (`src/process_mapping.cpp:41`, `src/Euka.cpp:184`).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..graph.packed import PackedGraph
+from ..io import gam
+from ..io.fastx import Read
+from ..utils import dna
+from . import minimizer as mz
+from .align import FULL_LENGTH_BONUS, LocalAlignment, smith_waterman
+from .index import MinimizerIndex, _path_codes, _step_offsets
+
+
+@dataclass
+class Candidate:
+    path: int
+    strand: bool  # True: read maps to path reverse strand
+    diag_lo: int
+    diag_hi: int
+    n_seeds: int
+
+
+def seed_and_cluster(
+    index: MinimizerIndex,
+    read_codes: np.ndarray,
+    max_diag_gap: int = 48,
+) -> List[Candidate]:
+    pos, hashes, read_rc = mz.all_kmers(read_codes, index.k)
+    L = len(read_codes)
+    hits: List[Tuple[int, bool, int]] = []  # (path, strand, diag)
+    for (p0, p1), rpos, rrc in zip(index.lookup(hashes), pos, read_rc):
+        for i in range(p0, p1):
+            path = int(index.post_path[i])
+            ppos = int(index.post_ppos[i])
+            strand = bool(index.post_rc[i]) ^ bool(rrc)
+            if not strand:
+                diag = ppos - int(rpos)
+            else:
+                # read rc coordinate of this k-mer start
+                rc_pos = L - index.k - int(rpos)
+                diag = ppos - rc_pos
+            hits.append((path, strand, diag))
+    if not hits:
+        return []
+    hits.sort()
+    clusters: List[Candidate] = []
+    cur: Optional[Candidate] = None
+    for path, strand, diag in hits:
+        if (
+            cur is not None
+            and cur.path == path
+            and cur.strand == strand
+            and diag - cur.diag_hi <= max_diag_gap
+        ):
+            cur.diag_hi = diag
+            cur.n_seeds += 1
+        else:
+            cur = Candidate(path, strand, diag, diag, 1)
+            clusters.append(cur)
+    clusters.sort(key=lambda c: -c.n_seeds)
+    return clusters
+
+
+@dataclass
+class PathAlignment:
+    path: int
+    strand: bool
+    aln: "GraphAlignment"
+    window: "Window"
+    eff_score: int
+
+
+def extend_candidates(
+    graph: PackedGraph,
+    index: MinimizerIndex,
+    read_codes: np.ndarray,
+    clusters: List[Candidate],
+    max_candidates: int = 8,
+    pad: int = 24,
+) -> List[PathAlignment]:
+    from .graph_align import align_to_window, build_window
+
+    out: List[PathAlignment] = []
+    L = len(read_codes)
+    rc_codes = dna.revcomp_codes(read_codes)
+    for cand in clusters[:max_candidates]:
+        plen = int(index.path_len[cand.path])
+        lo = max(0, cand.diag_lo - pad)
+        hi = min(plen, cand.diag_hi + L + pad)
+        if hi <= lo:
+            continue
+        win = build_window(graph, cand.path, lo, hi)
+        if win is None:
+            continue
+        q = rc_codes if cand.strand else read_codes
+        aln = align_to_window(q, win)
+        if aln is None:
+            continue
+        # start bonus is baked into the DP; add the end bonus here
+        eff = aln.score + (FULL_LENGTH_BONUS if aln.read_end == L else 0)
+        out.append(PathAlignment(cand.path, cand.strand, aln, win, eff))
+    out.sort(key=lambda a: -a.eff_score)
+    return out
+
+
+def _project_walk(
+    graph: PackedGraph,
+    win,
+    read: str,
+    aln,
+) -> gam.Path:
+    """Build per-node GAM mappings from a graph-alignment walk."""
+    mappings: List[gam.Mapping] = []
+    cur: Optional[gam.Mapping] = None
+    cur_handle = None
+    pending: List[gam.Edit] = []
+    read_pos = aln.read_start
+    if aln.read_start > 0:
+        pending.append(gam.Edit(0, aln.read_start, read[: aln.read_start]))
+
+    def new_mapping(handle_idx, offset):
+        nonlocal cur, cur_handle
+        nidx, rev = win.handles[handle_idx]
+        cur = gam.Mapping(
+            position=gam.Position(
+                node_id=int(nidx) + graph.min_id,
+                offset=int(offset),
+                is_reverse=bool(rev),
+            ),
+            edits=[],
+            rank=len(mappings) + 1,
+        )
+        cur_handle = handle_idx
+        mappings.append(cur)
+        if pending:
+            cur.edits.extend(pending)
+            pending.clear()
+
+    for handle_idx, offset, op in aln.walk:
+        if op == "I":
+            e = gam.Edit(0, 1, read[read_pos : read_pos + 1])
+            read_pos += 1
+            if cur is None:
+                pending.append(e)
+            else:
+                cur.edits.append(e)
+            continue
+        if cur is None or handle_idx != cur_handle:
+            new_mapping(handle_idx, offset)
+        if op == "M":
+            cur.edits.append(gam.Edit(1, 1, ""))
+            read_pos += 1
+        elif op == "X":
+            cur.edits.append(gam.Edit(1, 1, read[read_pos : read_pos + 1]))
+            read_pos += 1
+        else:  # D
+            cur.edits.append(gam.Edit(1, 0, ""))
+    # trailing softclip
+    if read_pos < len(read):
+        e = gam.Edit(0, len(read) - read_pos, read[read_pos:])
+        if cur is None:
+            pending.append(e)
+        else:
+            cur.edits.append(e)
+
+    # merge adjacent same-type edits
+    for m in mappings:
+        merged: List[gam.Edit] = []
+        for e in m.edits:
+            if merged:
+                last = merged[-1]
+                if last.is_match and e.is_match:
+                    merged[-1] = gam.Edit(
+                        last.from_length + e.from_length,
+                        last.to_length + e.to_length, "",
+                    )
+                    continue
+                if last.is_sub and e.is_sub:
+                    merged[-1] = gam.Edit(
+                        last.from_length + e.from_length,
+                        last.to_length + e.to_length,
+                        last.sequence + e.sequence,
+                    )
+                    continue
+                if last.is_deletion and e.is_deletion:
+                    merged[-1] = gam.Edit(
+                        last.from_length + e.from_length, 0, ""
+                    )
+                    continue
+                if last.is_insertion and e.is_insertion:
+                    merged[-1] = gam.Edit(
+                        0, last.to_length + e.to_length,
+                        last.sequence + e.sequence,
+                    )
+                    continue
+            merged.append(e)
+        m.edits = merged
+    return gam.Path(mappings=mappings)
+
+
+def _flip_path(graph: PackedGraph, p: gam.Path, rc_read: str, read: str) -> gam.Path:
+    """Convert an alignment of rc(read) on the path's forward strand
+    into the GAM convention for a minus-strand read: mappings in read
+    order (reversed), orientations flipped, offsets re-anchored, edit
+    sequences reverse-complemented."""
+    out = gam.Path()
+    for m in reversed(p.mappings):
+        nid = m.position.node_id
+        nlen = graph.node_len(nid)
+        consumed = sum(e.from_length for e in m.edits)
+        new_off = nlen - m.position.offset - consumed
+        edits = []
+        for e in reversed(m.edits):
+            edits.append(
+                gam.Edit(
+                    e.from_length,
+                    e.to_length,
+                    dna.revcomp(e.sequence) if e.sequence else "",
+                )
+            )
+        out.mappings.append(
+            gam.Mapping(
+                position=gam.Position(
+                    node_id=nid,
+                    offset=int(new_off),
+                    is_reverse=not m.position.is_reverse,
+                ),
+                edits=edits,
+                rank=len(out.mappings) + 1,
+            )
+        )
+    return out
+
+
+class Mapper:
+    """End-to-end read mapper producing GAM alignments."""
+
+    def __init__(self, graph: PackedGraph, k: int = 20, w: int = 10,
+                 index: Optional[MinimizerIndex] = None):
+        self.graph = graph
+        self.index = index or MinimizerIndex.build(graph, k=k, w=w)
+        self._step_offs = [
+            _step_offsets(graph, p) for p in range(graph.n_paths)
+        ]
+
+    def map_read(self, read: Read) -> gam.Alignment:
+        codes = dna.encode(read.seq)
+        clusters = seed_and_cluster(self.index, codes)
+        a = gam.Alignment(sequence=read.seq, name=read.name,
+                          quality=bytes(read.qual or b""))
+        if not clusters:
+            return a  # unmapped (identity 0)
+        alns = extend_candidates(self.graph, self.index, codes, clusters)
+        if not alns:
+            return a
+        # dedup identical alignments mapped via different haplotypes
+        seen = {}
+        for pa in alns:
+            key = self._projection_key(pa)
+            if key not in seen:
+                seen[key] = pa
+        uniq = list(seen.values())
+        best = uniq[0]
+        second = uniq[1].eff_score if len(uniq) > 1 else None
+
+        path = _project_walk(
+            self.graph,
+            best.window,
+            dna.decode(dna.revcomp_codes(codes)) if best.strand else read.seq,
+            best.aln,
+        )
+        if best.strand:
+            path = _flip_path(self.graph, path, None, read.seq)
+
+        a.path = path
+        a.score = int(best.eff_score)
+        aln_len = len(best.aln.walk)
+        a.identity = best.aln.n_matches / aln_len if aln_len else 0.0
+        if second is None:
+            a.mapping_quality = 60
+        else:
+            a.mapping_quality = int(
+                max(0, min(60, round(6.23 * (best.eff_score - second))))
+            )
+        return a
+
+    def map_reads(self, reads) -> List[gam.Alignment]:
+        return [self.map_read(r) for r in reads]
+
+    def _projection_key(self, pa: PathAlignment):
+        if not pa.aln.walk:
+            return (pa.path, pa.strand)
+        first = next(
+            ((h, o) for h, o, _op in pa.aln.walk if h >= 0), (-1, 0)
+        )
+        node = pa.window.handles[first[0]][0] if first[0] >= 0 else -1
+        ops = tuple(
+            (pa.window.handles[h][0] if h >= 0 else -1, op)
+            for h, _o, op in pa.aln.walk
+        )
+        return (node, first[1], pa.strand, ops)

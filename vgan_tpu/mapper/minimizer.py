@@ -1,0 +1,107 @@
+"""(w,k)-minimizer extraction.
+
+Equivalent of the vg minimizer index's sampling scheme (the reference
+builds it via `vg minimizer -k 31 -w 11` for HaploCart and
+`-k 20 -w 10` for the toy/euka DBs, `src/map_giraffe.cpp:41-55`,
+`test/reconstructInputSeq/cmds:17`): in every window of w consecutive
+k-mers, the one with the smallest hash of its canonical encoding is
+sampled. Hash = splitmix64 finalizer over the 2-bit packed k-mer,
+canonical = min(fwd, revcomp).
+
+Host path is vectorized numpy (used for index build); the same math
+runs under jit for device-side read sketching (jnp arrays work through
+the same functions).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, dtype=np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = (x * _M1).astype(np.uint64)
+    x ^= x >> np.uint64(27)
+    x = (x * _M2).astype(np.uint64)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def kmer_codes(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """2-bit pack all k-mers of a code sequence.
+
+    Returns (fwd_kmers[u64], valid[bool]) of length len-k+1; windows
+    containing non-ACGT bases are invalid."""
+    n = len(codes)
+    if n < k:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool)
+    c = codes.astype(np.uint64)
+    bad = codes >= 4
+    # rolling pack: kmer[i] = sum_j c[i+j] << 2*(k-1-j)
+    idx = np.arange(n - k + 1)[:, None] + np.arange(k)[None, :]
+    window = c[idx]  # [n-k+1, k]
+    shifts = (np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64))[None, :]
+    fwd = (window << shifts).sum(axis=1, dtype=np.uint64)
+    valid = ~(np.maximum.reduce(bad[idx], axis=1))
+    return fwd, valid
+
+
+def revcomp_code(kmer: np.ndarray, k: int) -> np.ndarray:
+    """Reverse complement of 2-bit packed k-mers (complement = 3-b)."""
+    x = np.asarray(kmer, dtype=np.uint64)
+    out = np.zeros_like(x)
+    for j in range(k):
+        b = (x >> (np.uint64(2) * np.uint64(j))) & np.uint64(3)
+        out |= (np.uint64(3) - b) << (np.uint64(2) * np.uint64(k - 1 - j))
+    return out
+
+
+def all_kmers(codes: np.ndarray, k: int):
+    """All valid k-mers with canonical hashes (used on the READ side:
+    the graph side is minimizer-sampled, so querying every read k-mer
+    preserves sensitivity for short shared stretches, cf. giraffe's
+    window guarantee only holding for stretches >= w+k-1)."""
+    fwd, valid = kmer_codes(codes, k)
+    if len(fwd) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64), np.zeros(0, bool)
+    rc = revcomp_code(fwd, k)
+    canon = np.minimum(fwd, rc)
+    is_rc = rc < fwd
+    h = splitmix64(canon)
+    sel = np.nonzero(valid)[0]
+    return sel.astype(np.int64), h[sel], is_rc[sel]
+
+
+def minimizers(
+    codes: np.ndarray, k: int, w: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Extract (w,k)-minimizers.
+
+    Returns (positions, hashes, is_rc): start position of each sampled
+    k-mer, its canonical hash, and whether the canonical orientation is
+    the reverse complement."""
+    fwd, valid = kmer_codes(codes, k)
+    if len(fwd) == 0:
+        return (np.zeros(0, np.int64),) * 2 + (np.zeros(0, bool),)
+    rc = revcomp_code(fwd, k)
+    canon = np.minimum(fwd, rc)
+    is_rc = rc < fwd
+    h = splitmix64(canon)
+    h = np.where(valid, h, np.uint64(0xFFFFFFFFFFFFFFFF))
+    n = len(h)
+    if n < w:
+        w = n
+    # windowed argmin via sliding windows
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(h, w)  # [n-w+1, w]
+    arg = win.argmin(axis=1) + np.arange(len(win))
+    sel = np.unique(arg)
+    sel = sel[valid[sel]]
+    return sel.astype(np.int64), h[sel], is_rc[sel]
