@@ -1,0 +1,128 @@
+"""End-to-end pipeline tests on the toy fixture DB: full input->output
+runs through the runners/CLI surfaces."""
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from vgan_tpu import cli
+from vgan_tpu.io import fastx, gam
+from vgan_tpu.pipelines import euka as ek
+from vgan_tpu.pipelines import keelime
+from vgan_tpu.pipelines.euka_runner import (
+    abundance_mcmc_from_result,
+    write_outputs,
+)
+from vgan_tpu.pipelines.haplocart_runner import HaplocartConfig, load_db, run
+
+
+@pytest.fixture(scope="module")
+def toy_db_dir(tmp_path_factory, ref):
+    d = tmp_path_factory.mktemp("toydb")
+    rc = cli.main(
+        [
+            "build-db",
+            str(ref / "test/reconstructInputSeq/target_graph.gfa"),
+            str(d),
+        ]
+    )
+    assert rc == 0
+    assert (d / "graph.npz").exists()
+    return d
+
+
+def test_haplocart_e2e_fastq(toy_db_dir, ref, tmp_path):
+    out = tmp_path / "hc_out.tsv"
+    cfg = HaplocartConfig(
+        db_dir=str(toy_db_dir),
+        fq1=str(ref / "test/reconstructInputSeq/test_reads.fq"),
+        output=str(out),
+        posterior_file=str(tmp_path / "post.txt"),
+        k=20,
+        w=10,
+    )
+    results = run(cfg)
+    assert len(results) == 1
+    name, pred, n_reads = results[0]
+    assert pred.startswith("seq")  # toy graph path names are seq_*
+    # several fixture reads share start coordinates and dedup as PCR
+    # duplicates (same behavior as the reference's Dup_Remover)
+    assert n_reads >= 4
+    text = out.read_text()
+    assert "#sample\tpredicted haplogroup\treads" in text
+    assert (tmp_path / "post.txt").exists()
+
+
+def test_haplocart_e2e_gam(toy_db_dir, ref, tmp_path):
+    out = tmp_path / "hc_gam.tsv"
+    cfg = HaplocartConfig(
+        db_dir=str(toy_db_dir),
+        gamfile=str(ref / "test/reconstructInputSeq/test_reads.gam"),
+        output=str(out),
+    )
+    results = run(cfg)
+    assert results[0][2] == 5  # 10 fixture reads, 5 coordinate-duplicates
+
+
+def test_euka_e2e_outputs(toy_graph, toy_reads, tmp_path):
+    clades = [
+        ek.CladeInfo(0, "cladeA", 0.05, 1, toy_graph.min_id, 15),
+        ek.CladeInfo(1, "cladeB", 0.10, 1, 16, toy_graph.max_id),
+    ]
+    chunks = [
+        [(toy_graph.min_id, 10, 1.5), (11, 15, 1.3), (11, 15, 1.3)],
+        [(16, 22, 1.4), (23, toy_graph.max_id, 1.2), (23, toy_graph.max_id, 1.2)],
+    ]
+    scorer = ek.EukaScorer(toy_graph, clades, chunks)
+    res = scorer.score(toy_reads, min_mq=1, min_frag=1, min_bins=1,
+                       max_bins=2, entropy_threshold=1.0)
+    out = str(tmp_path / "euka_test")
+    mcmc = abundance_mcmc_from_result(res, n_iter=500, burnin=50)
+    write_outputs(res, out, mcmc)
+    assert os.path.exists(out + "_abundance.tsv")
+    assert os.path.exists(out + "_detected.tsv")
+    assert os.path.exists(out + "_coverage.tsv")
+    assert os.path.exists(out + "_inSize.tsv")
+    assert os.path.exists(out + "_5p.prof")
+    assert os.path.exists(out + "_3p.prof")
+    with open(out + "_abundance.tsv") as f:
+        header = f.readline()
+        assert header.startswith("#Taxa\tdetected\tNumber_of_reads")
+        lines = f.readlines()
+    assert len(lines) == 2  # both clades listed
+
+
+def test_keelime_e2e(toy_graph, toy_reads, tmp_path):
+    reads = keelime.analyse_gam(toy_graph, toy_reads)
+    assert len(reads) >= 8
+    contigs = keelime.assemble(reads)
+    assert len(contigs) >= 1
+    cons = keelime.consensus(toy_graph, contigs)
+    assert len(cons) > 50
+    out = str(tmp_path / "kl")
+    keelime.write_outputs(out, contigs, cons)
+    with gzip.open(out + "Consensus.fa.gz", "rt") as f:
+        assert f.readline().startswith(">consensus")
+        seq = f.readline().strip()
+        assert set(seq) <= set("ACGTN")
+
+
+def test_duprm_cli(ref, tmp_path, toy_reads):
+    # duplicate the gam and dedup via the CLI
+    dup = tmp_path / "dup.gam"
+    gam.write_gam(str(dup), list(toy_reads) + list(toy_reads))
+    out = tmp_path / "dedup.gam"
+    rc = cli.main(["duprm", str(dup), str(out)])
+    assert rc == 0
+    kept = gam.read_gam(str(out))
+    # the fixture itself contains coordinate-duplicates (5 distinct
+    # start coords); doubling the file must not add any survivors
+    from vgan_tpu.pipelines.haplocart import remove_duplicates
+
+    assert len(kept) == len(remove_duplicates(toy_reads))
+
+
+def test_version_cli(capsys):
+    assert cli.main(["version"]) == 0
+    assert "tpu" in capsys.readouterr().out

@@ -1,0 +1,408 @@
+"""vgan-compatible command line interface.
+
+Subcommand surface mirrors `src/vgan.cpp:31-191`:
+  haplocart, euka, soibean, keelime, gam2prof, duprm, version
+plus framework-native additions:
+  build-db   compile a GFA into the packed DB (graph.npz)
+  bench      print the one-line benchmark JSON
+
+Flags are parsed with the reference's manual single-dash style
+(`src/HaploCart.cpp:87-209`, `src/Euka.cpp:193-345`,
+`src/soibean.cpp:260-402`).
+"""
+from __future__ import annotations
+
+import sys
+from typing import List
+
+VERSION = "v3.0.0-tpu0.1"
+
+
+def _take(args: List[str], i: int) -> str:
+    if i + 1 >= len(args):
+        raise SystemExit(f"missing value for {args[i]}")
+    return args[i + 1]
+
+
+def main(argv: List[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "version":
+        print(VERSION)
+        return 0
+    if cmd == "haplocart":
+        return cmd_haplocart(rest)
+    if cmd == "euka":
+        return cmd_euka(rest)
+    if cmd == "soibean":
+        return cmd_soibean(rest)
+    if cmd == "keelime":
+        return cmd_keelime(rest)
+    if cmd == "duprm":
+        return cmd_duprm(rest)
+    if cmd == "gam2prof":
+        return cmd_gam2prof(rest)
+    if cmd == "build-db":
+        return cmd_build_db(rest)
+    if cmd == "bench":
+        import runpy
+
+        runpy.run_path("bench.py", run_name="__main__")
+        return 0
+    print(f"unknown subcommand {cmd}", file=sys.stderr)
+    return 1
+
+
+def cmd_haplocart(args: List[str]) -> int:
+    from .pipelines.haplocart_runner import HaplocartConfig, run
+
+    cfg = HaplocartConfig(db_dir="")
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "-f":
+            cfg.fasta = _take(args, i); i += 2
+        elif a == "-fq1":
+            cfg.fq1 = _take(args, i); i += 2
+        elif a == "-fq2":
+            cfg.fq2 = _take(args, i); i += 2
+        elif a == "-g":
+            cfg.gamfile = _take(args, i); i += 2
+        elif a == "-i":
+            cfg.interleaved = True; i += 1
+        elif a == "-o":
+            cfg.output = _take(args, i); i += 2
+        elif a == "-e":
+            cfg.background_error_prob = float(_take(args, i)); i += 2
+        elif a == "-pf":
+            cfg.posterior_file = _take(args, i); i += 2
+        elif a == "-s":
+            cfg.samplename = _take(args, i); i += 2
+        elif a == "-q":
+            cfg.quiet = True; i += 1
+        elif a in ("--hc-files", "--hcfiles", "--db"):
+            cfg.db_dir = _take(args, i); i += 2
+        elif a == "-k":
+            cfg.k = int(_take(args, i)); i += 2
+        elif a == "-w":
+            cfg.w = int(_take(args, i)); i += 2
+        elif a == "-t":
+            i += 2  # thread count accepted for compatibility
+        else:
+            print(f"[HaploCart] ignoring unknown flag {a}", file=sys.stderr)
+            i += 1
+    if not cfg.db_dir:
+        raise SystemExit("[HaploCart] --db <dir> is required")
+    run(cfg)
+    return 0
+
+
+def cmd_euka(args: List[str]) -> int:
+    import numpy as np
+
+    from .graph.packed import PackedGraph
+    from .io import fastx, gam as gamio
+    from .mapper.giraffe import Mapper
+    from .models.damage import DamageModel
+    from .pipelines import euka as ek
+    from .pipelines.euka_runner import abundance_mcmc_from_result, write_outputs
+
+    euka_dir = ""
+    dbprefix = "euka_db"
+    fq1 = fq2 = gamfile = ""
+    interleaved = False
+    out = "euka_output"
+    n_iter, burnin = 10000, 100
+    min_mq, min_frag, min_bins, max_bins = 29, 10, 6, 0
+    entropy = 1.17
+    deam5p = deam3p = ""
+    run_mcmc_flag = True
+    ltp = 5
+    out_frag = False
+    k, w = 20, 10
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--euka_dir":
+            euka_dir = _take(args, i); i += 2
+        elif a == "--dbprefix":
+            dbprefix = _take(args, i); i += 2
+        elif a == "-fq1":
+            fq1 = _take(args, i); i += 2
+        elif a == "-fq2":
+            fq2 = _take(args, i); i += 2
+        elif a == "-g":
+            gamfile = _take(args, i); i += 2
+        elif a == "-i":
+            interleaved = True; i += 1
+        elif a == "-o":
+            out = _take(args, i); i += 2
+        elif a == "--iter":
+            n_iter = int(_take(args, i)); i += 2
+        elif a == "--burnin":
+            burnin = int(_take(args, i)); i += 2
+        elif a == "--minMQ":
+            min_mq = int(_take(args, i)); i += 2
+        elif a == "--minFrag":
+            min_frag = int(_take(args, i)); i += 2
+        elif a == "--minBins":
+            min_bins = int(_take(args, i)); i += 2
+        elif a == "--maxBins":
+            max_bins = int(_take(args, i)); i += 2
+        elif a == "--entropy":
+            entropy = float(_take(args, i)); i += 2
+        elif a == "--deam5p":
+            deam5p = _take(args, i); i += 2
+        elif a == "--deam3p":
+            deam3p = _take(args, i); i += 2
+        elif a == "--no-mcmc":
+            run_mcmc_flag = False; i += 1
+        elif a == "-l":
+            ltp = int(_take(args, i)); i += 2
+        elif a == "--outFrag":
+            out_frag = True; i += 1
+        elif a == "-k":
+            k = int(_take(args, i)); i += 2
+        elif a == "-w":
+            w = int(_take(args, i)); i += 2
+        elif a == "-t":
+            i += 2
+        else:
+            print(f"[euka] ignoring unknown flag {a}", file=sys.stderr)
+            i += 1
+    if fq1.endswith((".fa", ".fasta", ".fa.gz", ".fasta.gz")):
+        raise SystemExit("[euka] Input file must be FASTQ, not FASTA")
+    import os
+
+    prefix = os.path.join(euka_dir, dbprefix)
+    clades = ek.load_clade_info(prefix + ".clade")
+    chunks = ek.load_clade_chunks(prefix + ".bins")
+    graph = _load_graph(prefix)
+    dm = DamageModel.from_profiles(deam5p or None, deam3p or None)
+    if gamfile:
+        alignments = gamio.read_gam(gamfile)
+    else:
+        mapper = Mapper(graph, k=k, w=w)
+        reads = fastx.read_fastq(fq1)
+        if fq2:
+            reads += fastx.read_fastq(fq2)
+        alignments = mapper.map_reads(reads)
+    scorer = ek.EukaScorer(graph, clades, chunks, damage=dm, length_to_prof=ltp)
+    res = scorer.score(
+        alignments, min_mq=min_mq, min_frag=min_frag, min_bins=min_bins,
+        max_bins=max_bins, entropy_threshold=entropy,
+    )
+    mcmc = (
+        abundance_mcmc_from_result(res, n_iter=n_iter, burnin=burnin)
+        if run_mcmc_flag
+        else None
+    )
+    write_outputs(res, out, mcmc, length_to_prof=ltp, out_frag=out_frag)
+    return 0
+
+
+def cmd_soibean(args: List[str]) -> int:
+    import os
+
+    from .io import fastx, gam as gamio
+    from .mapper.giraffe import Mapper
+    from .pipelines import soibean as sb
+    from .pipelines.soibean_runner import run_soibean_inference
+    from .utils.newick import read_newick
+
+    sbdir = ""
+    dbprefix = ""
+    treedir = ""
+    fq1 = fq2 = gamfile = ""
+    out = "soibean_output"
+    n_iter, burnin, chains = 500000, 75000, 4
+    spec_k = None
+    penalty = 7
+    k, w = 20, 10
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--dbprefix":
+            dbprefix = _take(args, i); i += 2
+        elif a in ("--sbdir", "--soibean_dir"):
+            sbdir = _take(args, i); i += 2
+        elif a == "--treedir":
+            treedir = _take(args, i); i += 2
+        elif a == "-fq1":
+            fq1 = _take(args, i); i += 2
+        elif a == "-fq2":
+            fq2 = _take(args, i); i += 2
+        elif a == "-g":
+            gamfile = _take(args, i); i += 2
+        elif a == "-o":
+            out = _take(args, i); i += 2
+        elif a == "--iter":
+            n_iter = int(_take(args, i)); i += 2
+        elif a == "--burnin":
+            burnin = int(_take(args, i)); i += 2
+        elif a == "--chains":
+            chains = int(_take(args, i)); i += 2
+        elif a == "-k":
+            spec_k = int(_take(args, i)); i += 2
+        elif a == "-P":
+            penalty = int(_take(args, i)); i += 2
+        elif a == "-t":
+            i += 2
+        elif a == "--randStart":
+            i += 1
+        else:
+            print(f"[soibean] ignoring unknown flag {a}", file=sys.stderr)
+            i += 1
+    prefix = os.path.join(sbdir, dbprefix)
+    graph = _load_graph(prefix)
+    if gamfile:
+        alignments = gamio.read_gam(gamfile)
+    else:
+        mapper = Mapper(graph, k=k, w=w)
+        reads = fastx.read_fastq(fq1)
+        if fq2:
+            reads += fastx.read_fastq(fq2)
+        alignments = mapper.map_reads(reads)
+    stats = sb.analyse_reads(graph, alignments, penalty=penalty)
+    tree = read_newick(
+        os.path.join(treedir or os.path.join(sbdir, "tree_dir"),
+                     dbprefix + ".new.dnd")
+    )
+    freqs = sb.load_base_freqs(
+        os.path.join(sbdir, "soibean_db.baseFreq"), dbprefix
+    )
+    run_soibean_inference(
+        tree, stats, graph.path_names, freqs, out,
+        n_iter=n_iter, burnin=burnin, chains=chains, specified_k=spec_k,
+    )
+    return 0
+
+
+def cmd_keelime(args: List[str]) -> int:
+    from .pipelines.keelime import main_keelime
+
+    return main_keelime(args)
+
+
+def cmd_duprm(args: List[str]) -> int:
+    """`vgan duprm sorted.gam > out.gam` (`src/rmdup.cpp`)."""
+    from .io import gam as gamio
+    from .pipelines.haplocart import remove_duplicates
+
+    if not args:
+        raise SystemExit("usage: vgan duprm sorted.gam [out.gam]")
+    alignments = gamio.read_gam(args[0])
+    kept = remove_duplicates(alignments)
+    outpath = args[1] if len(args) > 1 else "/dev/stdout"
+    gamio.write_gam(outpath, kept)
+    print(
+        f"removed {len(alignments) - len(kept)} duplicates, kept {len(kept)}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_gam2prof(args: List[str]) -> int:
+    """Replay a GAM against euka bins, emit deamination profiles
+    (`src/gam2prof.cpp:29-228`)."""
+    import os
+
+    import numpy as np
+
+    from .graph.reconstruct import reconstruct_graph_sequence
+    from .io import gam as gamio
+    from .pipelines import euka as ek
+    from .pipelines.euka_runner import _prof_rates, _write_prof
+
+    euka_dir = ""
+    dbprefix = "euka_db"
+    gamfile = ""
+    out = "gam2prof"
+    ltp = 5
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--euka_dir":
+            euka_dir = _take(args, i); i += 2
+        elif a == "--dbprefix":
+            dbprefix = _take(args, i); i += 2
+        elif a == "-g":
+            gamfile = _take(args, i); i += 2
+        elif a == "-o":
+            out = _take(args, i); i += 2
+        elif a == "-l":
+            ltp = int(_take(args, i)); i += 2
+        else:
+            i += 1
+    prefix = os.path.join(euka_dir, dbprefix)
+    clades = ek.load_clade_info(prefix + ".clade")
+    chunks = ek.load_clade_chunks(prefix + ".bins")
+    graph = _load_graph(prefix)
+    baseshift = np.zeros((len(clades), 2 * ltp, 16), dtype=np.int64)
+    counts = np.zeros(len(clades), dtype=np.int64)
+    for a in gamio.iter_gam(gamfile):
+        if a.identity == 0 or not a.path.mappings:
+            continue
+        g, r, _ = reconstruct_graph_sequence(graph, a.path, a.sequence)
+        c_n, _e = ek.assign_clade(chunks, a.path.mappings[0].position.node_id)
+        ek.baseshift_update(baseshift[c_n], g, r, ltp)
+        counts[c_n] += 1
+    for i_c, clade in enumerate(clades):
+        if counts[i_c] == 0:
+            continue
+        _write_prof(
+            f"{out}_{clade.name}.prof", _prof_rates(baseshift[i_c], ltp), ltp
+        )
+    return 0
+
+
+def cmd_build_db(args: List[str]) -> int:
+    """build-db <in.gfa> <out_dir> [--k K --w W]: compile a GFA into the
+    packed graph + (optionally) persist the minimizer index."""
+    import os
+
+    from .graph.packed import PackedGraph
+
+    if len(args) < 2:
+        raise SystemExit("usage: vgan build-db in.gfa out_dir")
+    gfa, out_dir = args[0], args[1]
+    os.makedirs(out_dir, exist_ok=True)
+    g = PackedGraph.from_gfa(gfa)
+    g.save(os.path.join(out_dir, "graph.npz"))
+    print(
+        f"packed {g.n_nodes} nodes / {g.n_paths} paths -> {out_dir}/graph.npz",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def _load_graph(prefix: str):
+    """Resolve a graph for a DB prefix: <prefix>.npz, <prefix>.gfa or a
+    graph.npz/graph.gfa next to it."""
+    import os
+
+    from .graph.packed import PackedGraph
+
+    for cand in (prefix + ".npz", prefix + ".gfa"):
+        if os.path.exists(cand):
+            return (
+                PackedGraph.load(cand)
+                if cand.endswith(".npz")
+                else PackedGraph.from_gfa(cand)
+            )
+    d = os.path.dirname(prefix)
+    for cand in (os.path.join(d, "graph.npz"), os.path.join(d, "graph.gfa")):
+        if os.path.exists(cand):
+            return (
+                PackedGraph.load(cand)
+                if cand.endswith(".npz")
+                else PackedGraph.from_gfa(cand)
+            )
+    raise FileNotFoundError(f"no graph found for prefix {prefix}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,202 @@
+"""HaploCart end-to-end driver: input -> map -> dedup -> score -> report.
+
+Mirrors the stage chain of `Haplocart::run` (`src/HaploCart.cpp:58-488`):
+giraffe -> filter mapped -> gamsort -> duplicate removal -> likelihood ->
+argmax -> TSV/posterior output — with the fork/FIFO process pipeline
+replaced by in-process stages feeding the device scorer.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..graph.packed import PackedGraph
+from ..io import fastx, gam
+from ..mapper.giraffe import Mapper
+from . import haplocart as hc
+
+
+@dataclass
+class HaplocartConfig:
+    db_dir: str
+    fasta: str = ""
+    fq1: str = ""
+    fq2: str = ""
+    gamfile: str = ""
+    interleaved: bool = False
+    output: str = "/dev/stdout"
+    posterior_file: str = ""
+    background_error_prob: float = 0.0001
+    samplename: str = ""
+    quiet: bool = False
+    k: int = 31
+    w: int = 11
+
+
+def load_db(db_dir: str) -> hc.HaplocartDB:
+    """Load a HaploCart DB directory. Accepts our packed graph
+    (graph.npz / graph.gfa) plus the reference's sidecar file formats
+    (`src/load.cpp`)."""
+    gnpz = os.path.join(db_dir, "graph.npz")
+    ggfa = os.path.join(db_dir, "graph.gfa")
+    if os.path.exists(gnpz):
+        graph = PackedGraph.load(gnpz)
+    elif os.path.exists(ggfa):
+        graph = PackedGraph.from_gfa(ggfa)
+    else:
+        raise FileNotFoundError(f"no graph.npz/graph.gfa in {db_dir}")
+
+    paths_file = os.path.join(db_dir, "graph_paths")
+    if os.path.exists(paths_file):
+        path_names = []
+        with open(paths_file) as f:
+            for line in f:
+                t = line.split()
+                if t:
+                    path_names.append(t[0].split(".")[0])
+    else:
+        path_names = list(graph.path_names)
+
+    pang = np.ones(graph.n_nodes, dtype=np.int64)
+    pmap_file = os.path.join(db_dir, "parsed_pangenome_mapping")
+    if os.path.exists(pmap_file):
+        pmap = hc.load_pangenome_map(pmap_file)
+        for key, val in pmap.items():
+            idx = int(key) - graph.min_id
+            if 0 <= idx < graph.n_nodes:
+                pang[idx] = val
+    else:
+        # derive from the first path's coordinates
+        pos = 1
+        if graph.n_paths:
+            for nidx in graph.path_steps_node[0]:
+                pang[nidx] = pos
+                pos += int(graph.node_off[nidx + 1] - graph.node_off[nidx])
+
+    mapp_file = os.path.join(db_dir, "mappability.tsv")
+    if os.path.exists(mapp_file):
+        mapp = hc.load_mappabilities(mapp_file)
+    else:
+        mapp = np.ones(int(pang.max()) + 2, dtype=np.float64)
+
+    parents = {}
+    children = {}
+    pf = os.path.join(db_dir, "parents.txt")
+    cf = os.path.join(db_dir, "children.txt")
+    if os.path.exists(pf):
+        parents = hc.load_parents_children(pf)
+    if os.path.exists(cf):
+        children = hc.load_parents_children(cf)
+
+    return hc.HaplocartDB(
+        graph=graph,
+        path_names=path_names,
+        pangenome_base=pang,
+        mappabilities=mapp,
+        parents=parents,
+        children=children,
+    )
+
+
+def gamsort(alignments: List[gam.Alignment]) -> List[gam.Alignment]:
+    """Coordinate sort by (first node id, offset) — the vg gamsort
+    stage (`src/haplocart_functions.cpp:46-78`)."""
+    def key(a):
+        if not a.path.mappings:
+            return (1 << 62, 0)
+        p = a.path.mappings[0].position
+        return (p.node_id, p.offset)
+
+    return sorted(alignments, key=key)
+
+
+def get_reads(cfg: HaplocartConfig, fasta_seq: str = "") -> List[fastx.Read]:
+    if fasta_seq:
+        dq = fastx.dummy_qual_score(cfg.background_error_prob)
+        return [r for r in fastx.fa2fq_reads(fasta_seq, dq) if r.seq]
+    if cfg.fq1 and cfg.fq2:
+        reads = fastx.read_fastq(cfg.fq1) + fastx.read_fastq(cfg.fq2)
+        return reads
+    if cfg.fq1 and cfg.interleaved:
+        return fastx.read_fastq(cfg.fq1)
+    if cfg.fq1:
+        return fastx.read_fastq(cfg.fq1)
+    raise ValueError("no input")
+
+
+def run_sample(
+    cfg: HaplocartConfig,
+    db: hc.HaplocartDB,
+    mapper: Optional[Mapper],
+    samplename: str,
+    fasta_seq: str = "",
+    sample_idx: int = 0,
+) -> Tuple[str, int, np.ndarray]:
+    is_consensus = bool(fasta_seq) or bool(cfg.fasta)
+    if cfg.gamfile:
+        alignments = gam.read_gam(cfg.gamfile)
+    else:
+        reads = get_reads(cfg, fasta_seq)
+        alignments = mapper.map_reads(reads)
+    alignments = [a for a in alignments if a.identity != 0]  # vg filter -r 1
+    alignments = gamsort(alignments)
+    if not alignments:
+        raise RuntimeError("[HaploCart] Error, no reads mapped")
+    alignments = hc.remove_duplicates(alignments)
+    n_reads = len(alignments)
+    final_vec = hc.score_alignments(
+        db,
+        alignments,
+        use_background_error_prob=is_consensus,
+        background_error_prob=cfg.background_error_prob,
+        is_consensus_fasta=is_consensus,
+    )
+    pred = hc.predict(db, final_vec)
+    return pred, n_reads, final_vec
+
+
+def run(cfg: HaplocartConfig) -> List[Tuple[str, str, int]]:
+    db = load_db(cfg.db_dir)
+    mapper = None
+    if not cfg.gamfile:
+        mapper = Mapper(db.graph, k=cfg.k, w=cfg.w)
+
+    samples: List[Tuple[str, str]] = []  # (name, fasta_seq or "")
+    if cfg.fasta:
+        seqs, ids = fastx.read_fasta(cfg.fasta)
+        for s, i in zip(seqs, ids):
+            samples.append((cfg.samplename or i, s))
+    else:
+        name = cfg.samplename or (cfg.fq1 or cfg.gamfile)
+        samples.append((name, ""))
+
+    results = []
+    out = sys.stdout if cfg.output == "/dev/stdout" else open(cfg.output, "a")
+    try:
+        for idx, (name, fseq) in enumerate(samples):
+            pred, n_reads, final_vec = run_sample(
+                cfg, db, mapper, name, fseq, idx
+            )
+            if cfg.fasta:
+                n_reads = 1  # `src/HaploCart.cpp:427`
+            if idx == 0:
+                out.write("#sample\tpredicted haplogroup\treads\n")
+            out.write(f"{name.replace(' ', '_')}\t{pred}\t{n_reads}\n")
+            results.append((name, pred, n_reads))
+            if cfg.posterior_file:
+                post = hc.get_posterior(db, final_vec, pred)
+                with open(cfg.posterior_file, "a") as pfh:
+                    pfh.write(
+                        f"\nClade-level posterior confidence values\n{name}\t"
+                    )
+                    for i, (clade, conf) in enumerate(post):
+                        pfh.write(f"{clade}\t{conf}\t{i}\t")
+                    pfh.write("\n\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return results
