@@ -93,3 +93,20 @@ def test_mq_and_scores(toy_mapper, ref):
         a = toy_mapper.map_read(r)
         assert 0 <= a.mapping_quality <= 60
         assert a.score > 0
+
+
+def test_batched_mapper_agrees(toy_graph, ref, toy_reads):
+    from vgan_tpu.mapper.giraffe import BatchedMapper, Mapper
+
+    reads = fastx.read_fastq(str(ref / "test/reconstructInputSeq/test_reads.fq"))
+    m1 = Mapper(toy_graph, k=20, w=10)
+    m2 = BatchedMapper(toy_graph, k=20, w=10, index=m1.index)
+    out1 = [m1.map_read(r) for r in reads]
+    out2 = m2.map_reads(reads)
+    for a, b in zip(out1, out2):
+        assert (a.identity != 0) == (b.identity != 0), a.name
+        if a.identity != 0:
+            ga, ra, _ = reconstruct_graph_sequence(toy_graph, a.path, a.sequence)
+            gb, rb, _ = reconstruct_graph_sequence(toy_graph, b.path, b.sequence)
+            assert ra == rb, a.name
+            assert ga == gb, a.name

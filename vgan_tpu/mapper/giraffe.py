@@ -327,3 +327,124 @@ class Mapper:
             for h, _o, op in pa.aln.walk
         )
         return (node, first[1], pa.strand, ops)
+
+
+class BatchedMapper(Mapper):
+    """Mapper with device-batched candidate scoring.
+
+    Per read, seeding/clustering stays on host; ALL candidate windows
+    across the read batch are scored in one device call
+    (mapper/sw_pallas.sw_scores_xla — the XLA twin of the Pallas
+    kernel), then only each read's winner goes through the exact
+    host-side graph alignment + projection. Winner selection uses the
+    haplotype-linear score; the final alignment may still improve
+    through off-path alleles in the graph window (same behavior as the
+    per-read path).
+    """
+
+    def map_reads(self, reads, max_candidates: int = 8, pad: int = 24):
+        import hashlib
+
+        from .graph_align import align_to_window, build_window
+        from .sw_pallas import sw_scores_xla
+        from .index import _path_codes
+
+        graph = self.graph
+        index = self.index
+        n = len(reads)
+        all_cands = []  # (read_idx, cand, window_codes, strand)
+        read_codes = []
+        path_cache = {}
+        for ri, r in enumerate(reads):
+            codes = dna.encode(r.seq)
+            read_codes.append(codes)
+            clusters = seed_and_cluster(index, codes)
+            L = len(codes)
+            for cand in clusters[:max_candidates]:
+                pc = path_cache.get(cand.path)
+                if pc is None:
+                    pc = _path_codes(graph, cand.path)
+                    path_cache[cand.path] = pc
+                lo = max(0, cand.diag_lo - pad)
+                hi = min(len(pc), cand.diag_hi + L + pad)
+                if hi <= lo:
+                    continue
+                all_cands.append((ri, cand, pc[lo:hi], lo))
+
+        if not all_cands:
+            return [
+                gam.Alignment(sequence=r.seq, name=r.name,
+                              quality=bytes(r.qual or b""))
+                for r in reads
+            ]
+
+        Rmax = max(len(read_codes[ri]) for ri, *_ in all_cands)
+        Wmax = max(len(w) for _ri, _c, w, _lo in all_cands)
+        N = len(all_cands)
+        qarr = np.full((N, Rmax), 255, dtype=np.int32)
+        warr = np.full((N, Wmax), 255, dtype=np.int32)
+        rlen = np.zeros(N, dtype=np.int32)
+        wlen = np.zeros(N, dtype=np.int32)
+        for i, (ri, cand, wcodes, _lo) in enumerate(all_cands):
+            q = read_codes[ri]
+            if cand.strand:
+                q = dna.revcomp_codes(q)
+            qarr[i, : len(q)] = q
+            rlen[i] = len(q)
+            warr[i, : len(wcodes)] = wcodes
+            wlen[i] = len(wcodes)
+        scores = np.asarray(sw_scores_xla(qarr, warr, rlen, wlen))
+
+        # per read: dedup identical windows (same haplotype content),
+        # pick winner, MQ from best-vs-second gap
+        best_of = {}
+        for i, (ri, cand, wcodes, lo) in enumerate(all_cands):
+            key = (cand.strand, hashlib.md5(wcodes.tobytes()).hexdigest())
+            d = best_of.setdefault(ri, {})
+            if key not in d or scores[i] > d[key][0]:
+                d[key] = (scores[i], i)
+
+        out = []
+        for ri, r in enumerate(reads):
+            a = gam.Alignment(sequence=r.seq, name=r.name,
+                              quality=bytes(r.qual or b""))
+            d = best_of.get(ri)
+            if not d:
+                out.append(a)
+                continue
+            ranked = sorted(d.values(), key=lambda t: -t[0])
+            _score, i = ranked[0]
+            second = ranked[1][0] if len(ranked) > 1 else None
+            ri2, cand, wcodes, lo = all_cands[i]
+            codes = read_codes[ri]
+            win = build_window(graph, cand.path, lo, lo + len(wcodes))
+            if win is None:
+                out.append(a)
+                continue
+            q = dna.revcomp_codes(codes) if cand.strand else codes
+            aln = align_to_window(q, win)
+            if aln is None:
+                out.append(a)
+                continue
+            eff = aln.score + (
+                FULL_LENGTH_BONUS if aln.read_end == len(codes) else 0
+            )
+            path = _project_walk(
+                graph, win,
+                dna.decode(q),
+                aln,
+            )
+            if cand.strand:
+                path = _flip_path(graph, path, None, r.seq)
+            a.path = path
+            a.score = int(eff)
+            aln_len = len(aln.walk)
+            a.identity = aln.n_matches / aln_len if aln_len else 0.0
+            if second is None:
+                a.mapping_quality = 60
+            else:
+                a.mapping_quality = int(
+                    max(0, min(60, round(6.23 * (eff - float(second)))))
+                )
+            out.append(a)
+        return out

@@ -1,0 +1,275 @@
+"""Batched affine Smith-Waterman scoring as a Pallas TPU kernel.
+
+The mapper's heavy phase: thousands of (read, candidate-window) pairs
+are scored on device; only the per-read winners go through the exact
+host-side graph alignment + traceback (mapper/graph_align.py). This is
+the "graph-banded SW over unrolled windows" split of SURVEY.md §7.4:
+candidate windows are haplotype-linearized, so the kernel DP is a
+dense rectangle with no data-dependent control flow.
+
+Layout: batch pairs ride the 128-wide lane axis, read positions ride
+sublanes. The window-column recurrence is the sequential ("arbitrary")
+grid dimension - each grid step processes one column for a 128-pair
+tile, carrying (H, E, best) in VMEM scratch across steps (the standard
+TPU accumulation pattern; an in-kernel fori_loop over 256 columns
+explodes Mosaic compile time). The vertical affine recurrence F is
+evaluated exactly per column with a log-depth doubling cummax.
+Scoring matches mapper/align.py: match +1, mismatch -4, gap open 6,
+gap extend 1, full-length bonus 5 at the read's first row (in-DP) and
+last row (at the max reduction).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .align import FULL_LENGTH_BONUS, GAP_EXT, GAP_OPEN, MATCH, MISMATCH
+
+NEG = -1e9  # python scalar: jnp constants would be captured as tracers
+
+
+def _cummax_rows(x, row_ids):
+    """Inclusive cummax along axis 0 via log-depth doubling
+    (roll + row masking; Mosaic cannot lower mixed concatenates)."""
+    n = x.shape[0]
+    shift = 1
+    while shift < n:
+        rolled = pltpu.roll(x, jnp.int32(shift), 0)
+        shifted = jnp.where(row_ids < shift, jnp.float32(NEG), rolled)
+        x = jnp.maximum(x, shifted)
+        shift *= 2
+    return x
+
+
+def _sw_col_kernel(read_ref, win_ref, wvalid_ref, rlen_ref, out_ref,
+                   h_ref, e_ref, best_ref):
+    """One grid step = one window column for a 128-pair tile.
+
+    read_ref [R+1, B] (row 0 is a 255 sentinel so DP row i aligns with
+    read base i), win_ref/wvalid_ref [1, B] (this column),
+    rlen_ref [1, B]; out_ref [1, B] best score; scratch h/e [R+1, B],
+    best [1, B] persists across the sequential column dimension."""
+    c = pl.program_id(1)
+    n_cols = pl.num_programs(1)
+    R1 = read_ref.shape[0]
+    B = read_ref.shape[1]
+    CB = win_ref.shape[0]  # columns per grid step (8)
+
+    @pl.when(c == 0)
+    def _():
+        h_ref[:, :] = jnp.zeros((R1, B), jnp.float32)
+        e_ref[:, :] = jnp.full((R1, B), NEG, jnp.float32)
+        best_ref[:, :] = jnp.zeros((1, B), jnp.float32)
+
+    rcodes = read_ref[:, :]
+    rlen = rlen_ref[0:1, :]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R1, B), 0)
+    valid_rows = row_ids <= rlen
+    ext_w = row_ids.astype(jnp.float32) * GAP_EXT
+
+    for k in range(CB):
+        _sw_one_col(
+            rcodes, rlen, row_ids, valid_rows, ext_w,
+            win_ref[k : k + 1, :], wvalid_ref[k : k + 1, :] > 0,
+            h_ref, e_ref, best_ref,
+        )
+
+    @pl.when(c == n_cols - 1)
+    def _():
+        out_ref[0:1, :] = best_ref[0:1, :]
+
+
+def _sw_one_col(rcodes, rlen, row_ids, valid_rows, ext_w, wcol, col_valid,
+                h_ref, e_ref, best_ref):
+    H = h_ref[:, :]
+    E = e_ref[:, :]
+
+    s = jnp.where(
+        (rcodes == wcol) & (rcodes < 4),
+        jnp.float32(MATCH),
+        jnp.float32(MISMATCH),
+    )  # [R1, B]; row 0 is sentinel (never matches)
+    # diag[i] = H_prev[i-1] + s[i] (+ start bonus at row 1)
+    h_shift = jnp.where(
+        row_ids == 0, jnp.float32(0.0), pltpu.roll(H, jnp.int32(1), 0)
+    )
+    diag = h_shift + s + jnp.where(
+        row_ids == 1, jnp.float32(FULL_LENGTH_BONUS), jnp.float32(0.0)
+    )
+    diag = jnp.where(row_ids == 0, jnp.float32(NEG), diag)
+    e_new = jnp.maximum(H - GAP_OPEN, E - GAP_EXT)
+    h_no_f = jnp.maximum(jnp.maximum(diag, e_new), 0.0)
+    # exact F via prefix max of (H + i*ext)
+    a = _cummax_rows(h_no_f + ext_w, row_ids)
+    a_shift = jnp.where(
+        row_ids == 0, jnp.float32(NEG), pltpu.roll(a, jnp.int32(1), 0)
+    )
+    f = a_shift - GAP_OPEN - ext_w + GAP_EXT
+    h_new = jnp.maximum(h_no_f, f)
+    # mask rows beyond read length and frozen (padded) columns
+    h_new = jnp.where(valid_rows, h_new, 0.0)
+    h_new = jnp.where(col_valid, h_new, H)
+    e_new = jnp.where(col_valid, e_new, E)
+    h_ref[:, :] = h_new
+    e_ref[:, :] = e_new
+    # best with end-row bonus
+    bonus = jnp.where(
+        row_ids == rlen, jnp.float32(FULL_LENGTH_BONUS), jnp.float32(0.0)
+    )
+    cell = jnp.where(col_valid, h_new + bonus, jnp.float32(NEG))
+    best_ref[0:1, :] = jnp.maximum(
+        best_ref[0:1, :], jnp.max(cell, axis=0, keepdims=True)
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def sw_scores(read_codes, win_codes, read_len, win_len, interpret=False):
+    """Score a batch of read/window pairs.
+
+    read_codes: [B, R] int32 (255-padded), win_codes: [B, W] int32,
+    read_len/win_len: [B] int32. Returns [B] float32 best scores
+    (including full-length bonuses)."""
+    B, R = read_codes.shape
+    W = win_codes.shape[1]
+    wpad = (-W) % 8
+    if wpad:
+        win_codes = jnp.pad(win_codes, ((0, 0), (0, wpad)), constant_values=255)
+    W = W + wpad
+    TILE = 128
+    pad = (-B) % TILE
+    if pad:
+        read_codes = jnp.pad(read_codes, ((0, pad), (0, 0)), constant_values=255)
+        win_codes = jnp.pad(win_codes, ((0, pad), (0, 0)), constant_values=255)
+        read_len = jnp.pad(read_len, (0, pad))
+        win_len = jnp.pad(win_len, (0, pad))
+    Bp = B + pad
+
+    # transpose so the batch rides lanes; sentinel row 0 aligns DP rows
+    rT = jnp.concatenate(
+        [jnp.full((1, Bp), 255, jnp.int32), read_codes.T.astype(jnp.int32)],
+        axis=0,
+    )  # [R+1, Bp]
+    wT = win_codes.T.astype(jnp.int32)  # [W, Bp]
+    wvalid = (
+        jnp.arange(W, dtype=jnp.int32)[:, None] < win_len[None, :]
+    ).astype(jnp.int32)  # [W, Bp]
+
+    COLS = 8
+    grid = (Bp // TILE, W // COLS)
+    out = pl.pallas_call(
+        _sw_col_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((R + 1, TILE), lambda b, c: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((COLS, TILE), lambda b, c: (c, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((COLS, TILE), lambda b, c: (c, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda b, c: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE), lambda b, c: (0, b),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((R + 1, TILE), jnp.float32),
+            pltpu.VMEM((R + 1, TILE), jnp.float32),
+            pltpu.VMEM((1, TILE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rT, wT, wvalid, read_len[None, :].astype(jnp.int32))
+    return out[0, :B]
+
+
+def sw_scores_reference(read_codes, win_codes, read_len, win_len):
+    """Pure-numpy oracle with identical semantics (for testing)."""
+    from .align import smith_waterman
+
+    out = np.zeros(len(read_codes), dtype=np.float32)
+    for b in range(len(read_codes)):
+        q = np.asarray(read_codes[b][: read_len[b]], dtype=np.uint8)
+        w = np.asarray(win_codes[b][: win_len[b]], dtype=np.uint8)
+        aln = smith_waterman(q, w)
+        if aln is None:
+            out[b] = 0.0
+        else:
+            out[b] = aln.score + (
+                FULL_LENGTH_BONUS if aln.read_end == len(q) else 0
+            )
+    return out
+
+
+@jax.jit
+def sw_scores_xla(read_codes, win_codes, read_len, win_len):
+    """XLA twin of the Pallas kernel: identical column recurrence as a
+    `lax.scan` over window columns.
+
+    This is the default production path: the axon toolchain in this
+    environment cannot compile gridded Pallas kernels ("func.return"
+    legalization failure) and takes minutes for grid-less ones, while
+    XLA compiles this scan in seconds and emits the same VPU vector
+    ops. The Pallas kernel above remains the reference kernel
+    formulation (exercised in interpret mode by the test suite)."""
+    B, R = read_codes.shape
+    W = win_codes.shape[1]
+    rT = jnp.concatenate(
+        [jnp.full((1, B), 255, jnp.int32), read_codes.T.astype(jnp.int32)],
+        axis=0,
+    )  # [R+1, B]
+    wT = win_codes.T.astype(jnp.int32)  # [W, B]
+    wvalid = jnp.arange(W, dtype=jnp.int32)[:, None] < win_len[None, :]
+    rlen = read_len[None, :].astype(jnp.int32)  # [1, B]
+
+    R1 = R + 1
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R1, B), 0)
+    valid_rows = row_ids <= rlen
+    ext_w = row_ids.astype(jnp.float32) * GAP_EXT
+    neg = jnp.float32(NEG)
+    bonus_row1 = jnp.where(row_ids == 1, jnp.float32(FULL_LENGTH_BONUS), 0.0)
+    bonus_end = jnp.where(row_ids == rlen, jnp.float32(FULL_LENGTH_BONUS), 0.0)
+
+    def cummax(x):
+        n = x.shape[0]
+        shift = 1
+        while shift < n:
+            shifted = jnp.where(
+                row_ids < shift, neg, jnp.roll(x, shift, axis=0)
+            )
+            x = jnp.maximum(x, shifted)
+            shift *= 2
+        return x
+
+    def step(carry, inp):
+        H, E, best = carry
+        wcol, cvalid = inp  # [B], [B]
+        s = jnp.where(
+            (rT == wcol[None, :]) & (rT < 4),
+            jnp.float32(MATCH),
+            jnp.float32(MISMATCH),
+        )
+        h_shift = jnp.where(row_ids == 0, 0.0, jnp.roll(H, 1, axis=0))
+        diag = jnp.where(row_ids == 0, neg, h_shift + s + bonus_row1)
+        e_new = jnp.maximum(H - GAP_OPEN, E - GAP_EXT)
+        h_no_f = jnp.maximum(jnp.maximum(diag, e_new), 0.0)
+        a = cummax(h_no_f + ext_w)
+        a_shift = jnp.where(row_ids == 0, neg, jnp.roll(a, 1, axis=0))
+        f = a_shift - GAP_OPEN - ext_w + GAP_EXT
+        h_new = jnp.maximum(h_no_f, f)
+        h_new = jnp.where(valid_rows, h_new, 0.0)
+        h_new = jnp.where(cvalid[None, :], h_new, H)
+        e_new = jnp.where(cvalid[None, :], e_new, E)
+        cell = jnp.where(cvalid[None, :], h_new + bonus_end, neg)
+        best = jnp.maximum(best, jnp.max(cell, axis=0))
+        return (h_new, e_new, best), None
+
+    H0 = jnp.zeros((R1, B), jnp.float32)
+    E0 = jnp.full((R1, B), neg)
+    best0 = jnp.zeros((B,), jnp.float32)
+    (H, E, best), _ = jax.lax.scan(step, (H0, E0, best0), (wT, wvalid))
+    return best
