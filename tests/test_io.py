@@ -81,3 +81,37 @@ def test_dna_codes():
     assert list(codes) == [0, 1, 2, 3, 4, 5, 6, 7]
     assert dna.decode(codes[:7]) == "ACGTN-S"
     assert dna.revcomp("ACGTN") == "NACGT"
+
+
+def test_native_gam_codec(ref, toy_reads):
+    from vgan_tpu.io import gam_native
+
+    if not gam_native.available():
+        pytest.skip("native codec unavailable")
+    fast = gam_native.read_gam_fast(
+        str(ref / "test/reconstructInputSeq/test_reads.gam")
+    )
+    assert len(fast) == len(toy_reads)
+    for a, b in zip(toy_reads, fast):
+        assert a.sequence == b.sequence
+        assert a.name == b.name
+        assert a.quality == b.quality
+        assert a.mapping_quality == b.mapping_quality
+        assert abs(a.identity - b.identity) < 1e-12
+        assert len(a.path.mappings) == len(b.path.mappings)
+        for ma, mb in zip(a.path.mappings, b.path.mappings):
+            assert ma.position.node_id == mb.position.node_id
+            assert ma.position.offset == mb.position.offset
+            assert ma.position.is_reverse == mb.position.is_reverse
+            assert [
+                (e.from_length, e.to_length, e.sequence) for e in ma.edits
+            ] == [(e.from_length, e.to_length, e.sequence) for e in mb.edits]
+
+
+def test_native_gam_codec_large(ref):
+    from vgan_tpu.io import gam, gam_native
+
+    if not gam_native.available():
+        pytest.skip("native codec unavailable")
+    p = str(ref / "test/input_files/alignments/J2a1a1a1.gam")
+    assert len(gam_native.read_gam_fast(p)) == len(gam.read_gam(p))
