@@ -24,6 +24,9 @@ def autocorrelation(v: np.ndarray, k: int) -> float:
     m = v.mean()
     denom = variance(v, m)
     numer = float(((v[: len(v) - k] - m) * (v[k:] - m)).sum())
+    if denom == 0.0:
+        # constant chain: C++ produces 0/0 = nan and carries on
+        return float("nan")
     return numer / ((len(v) - k) * denom)
 
 
@@ -31,6 +34,8 @@ def effective_sample_size(v: np.ndarray) -> float:
     """Paired-lag initial-positive-sequence ESS (`src/miscfunc.h:40-66`)."""
     v = np.asarray(v, dtype=np.float64)
     n = len(v)
+    if np.var(v) == 0.0:
+        return float("nan")  # constant chain (C++ nan propagation)
     max_lag = n // 2
     rho_even = 1.0
     rho_odd = autocorrelation(v, 1)
@@ -66,4 +71,6 @@ def rhat(means: np.ndarray, variances: np.ndarray, chain_length: int) -> float:
     grand = float(np.mean(means))
     B = float(((np.asarray(means) - grand) ** 2).sum()) * chain_length / (m - 1)
     var_est = ((chain_length - 1.0) * W + B) / chain_length
+    if W == 0.0:
+        return float("nan")  # identical-in-every-iteration parameter
     return float(np.sqrt(var_est / W))
