@@ -110,3 +110,34 @@ def test_batched_mapper_agrees(toy_graph, ref, toy_reads):
             gb, rb, _ = reconstruct_graph_sequence(toy_graph, b.path, b.sequence)
             assert ra == rb, a.name
             assert ga == gb, a.name
+
+
+def test_native_graph_aligner_parity(toy_graph, ref):
+    """Native C++ graph aligner produces identical walks to the python
+    reference on the fixture reads."""
+    from vgan_tpu.mapper import graph_align as ga
+    from vgan_tpu.mapper.giraffe import seed_and_cluster
+    from vgan_tpu.mapper.index import MinimizerIndex
+
+    if ga._load_native() is None:
+        pytest.skip("native lib unavailable")
+    index = MinimizerIndex.build(toy_graph, k=20, w=10)
+    reads = fastx.read_fastq(str(ref / "test/reconstructInputSeq/test_reads.fq"))
+    checked = 0
+    for r in reads:
+        codes = dna.encode(r.seq)
+        for cand in seed_and_cluster(index, codes)[:2]:
+            lo = max(0, cand.diag_lo - 24)
+            hi = cand.diag_hi + len(codes) + 24
+            win = ga.build_window(toy_graph, cand.path, lo, hi)
+            q = dna.revcomp_codes(codes) if cand.strand else codes
+            py = ga.align_to_window(q, win)
+            nat = ga.align_to_window_native(q, win)
+            assert (py is None) == (nat is None)
+            if py is not None:
+                assert py.score == nat.score
+                assert py.read_start == nat.read_start
+                assert py.read_end == nat.read_end
+                assert py.walk == nat.walk, r.name
+                checked += 1
+    assert checked >= 10

@@ -58,6 +58,38 @@ class PackedGraph:
     def n_paths(self) -> int:
         return len(self.path_names)
 
+    # ------------------------------------------------------------ caches
+    def oriented_adjacency(self):
+        """(fwd_adj, rev_adj) dicts over oriented handles (node_idx,
+        is_reverse), built once and cached (used by the mapper's window
+        extraction)."""
+        if getattr(self, "_adj_cache", None) is None:
+            fwd, rev = {}, {}
+
+            def add(a, b):
+                fwd.setdefault(a, []).append(b)
+                rev.setdefault(b, []).append(a)
+
+            for f, fr, t, tr in zip(
+                self.edge_from, self.edge_from_rev, self.edge_to, self.edge_to_rev
+            ):
+                add((int(f), bool(fr)), (int(t), bool(tr)))
+                add((int(t), not bool(tr)), (int(f), not bool(fr)))
+            self._adj_cache = (fwd, rev)
+        return self._adj_cache
+
+    def step_offsets(self, path_idx: int):
+        """Cumulative node-start offsets along a path (cached)."""
+        if getattr(self, "_stepoff_cache", None) is None:
+            self._stepoff_cache = {}
+        out = self._stepoff_cache.get(path_idx)
+        if out is None:
+            lens = self.node_off[self.path_steps_node[path_idx] + 1] -                 self.node_off[self.path_steps_node[path_idx]]
+            out = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=out[1:])
+            self._stepoff_cache[path_idx] = out
+        return out
+
     # ------------------------------------------------------------ accessors
     def node_index(self, node_id: int) -> int:
         return node_id - self.min_id

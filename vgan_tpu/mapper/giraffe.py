@@ -345,7 +345,7 @@ class BatchedMapper(Mapper):
     def map_reads(self, reads, max_candidates: int = 8, pad: int = 24):
         import hashlib
 
-        from .graph_align import align_to_window, build_window
+        from .graph_align import align_to_window_native, build_window
         from .sw_pallas import sw_scores_xla
         from .index import _path_codes
 
@@ -355,10 +355,11 @@ class BatchedMapper(Mapper):
         all_cands = []  # (read_idx, cand, window_codes, strand)
         read_codes = []
         path_cache = {}
+        read_codes = [dna.encode(r.seq) for r in reads]
+        clusters_per_read = seed_and_cluster_batch(index, read_codes)
         for ri, r in enumerate(reads):
-            codes = dna.encode(r.seq)
-            read_codes.append(codes)
-            clusters = seed_and_cluster(index, codes)
+            codes = read_codes[ri]
+            clusters = clusters_per_read[ri]
             L = len(codes)
             for cand in clusters[:max_candidates]:
                 pc = path_cache.get(cand.path)
@@ -378,8 +379,12 @@ class BatchedMapper(Mapper):
                 for r in reads
             ]
 
-        Rmax = max(len(read_codes[ri]) for ri, *_ in all_cands)
-        Wmax = max(len(w) for _ri, _c, w, _lo in all_cands)
+        def _round_up(x, m):
+            return ((x + m - 1) // m) * m
+
+        # bucket shapes so the device scorer compiles once per bucket
+        Rmax = _round_up(max(len(read_codes[ri]) for ri, *_ in all_cands), 32)
+        Wmax = _round_up(max(len(w) for _ri, _c, w, _lo in all_cands), 64)
         N = len(all_cands)
         qarr = np.full((N, Rmax), 255, dtype=np.int32)
         warr = np.full((N, Wmax), 255, dtype=np.int32)
@@ -417,12 +422,21 @@ class BatchedMapper(Mapper):
             second = ranked[1][0] if len(ranked) > 1 else None
             ri2, cand, wcodes, lo = all_cands[i]
             codes = read_codes[ri]
-            win = build_window(graph, cand.path, lo, lo + len(wcodes))
+            # windows bucket-cached: nearby reads share one window
+            lo_b = (lo // 128) * 128
+            hi_b = -(-(lo + len(wcodes)) // 128) * 128
+            wkey = (cand.path, lo_b, hi_b)
+            win = self._win_cache.get(wkey) if hasattr(self, "_win_cache") else None
+            if win is None:
+                if not hasattr(self, "_win_cache"):
+                    self._win_cache = {}
+                win = build_window(graph, cand.path, lo_b, hi_b)
+                self._win_cache[wkey] = win
             if win is None:
                 out.append(a)
                 continue
             q = dna.revcomp_codes(codes) if cand.strand else codes
-            aln = align_to_window(q, win)
+            aln = align_to_window_native(q, win)
             if aln is None:
                 out.append(a)
                 continue
@@ -448,3 +462,92 @@ class BatchedMapper(Mapper):
                 )
             out.append(a)
         return out
+
+
+def seed_and_cluster_batch(
+    index: MinimizerIndex,
+    read_codes_list,
+    max_diag_gap: int = 48,
+):
+    """Vectorized seeding for a whole read batch.
+
+    All k-mers of all reads are hashed and looked up in one numpy pass
+    (searchsorted join against the sorted index hashes), postings are
+    expanded CSR-style, and clusters are cut with a single lexsort over
+    (read, path, strand, diagonal) — no per-hit Python loops.
+    Returns per-read lists of Candidates (same semantics as
+    seed_and_cluster)."""
+    n_reads = len(read_codes_list)
+    pos_all, hash_all, rc_all, rid_all, len_all = [], [], [], [], []
+    for ri, codes in enumerate(read_codes_list):
+        p, h, rc = mz.all_kmers(codes, index.k)
+        pos_all.append(p)
+        hash_all.append(h)
+        rc_all.append(rc)
+        rid_all.append(np.full(len(p), ri, dtype=np.int64))
+        len_all.append(np.full(len(p), len(codes), dtype=np.int64))
+    if not pos_all:
+        return [[] for _ in range(n_reads)]
+    pos = np.concatenate(pos_all)
+    hashes = np.concatenate(hash_all)
+    rrc = np.concatenate(rc_all)
+    rid = np.concatenate(rid_all)
+    rlen = np.concatenate(len_all)
+
+    idx = np.searchsorted(index.hashes, hashes)
+    idx = np.minimum(idx, len(index.hashes) - 1)
+    found = index.hashes[idx] == hashes
+    p0 = np.where(found, index.post_off[idx], 0)
+    p1 = np.where(found, index.post_off[idx + 1], 0)
+    counts = (p1 - p0).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return [[] for _ in range(n_reads)]
+    # expand postings CSR-style
+    qidx = np.repeat(np.arange(len(pos)), counts)  # query row per hit
+    starts = np.repeat(p0, counts)
+    within = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+    )
+    pi = starts + within  # posting index per hit
+
+    path = index.post_path[pi].astype(np.int64)
+    ppos = index.post_ppos[pi]
+    strand = index.post_rc[pi] ^ rrc[qidx]
+    rc_pos = rlen[qidx] - index.k - pos[qidx]
+    diag = np.where(strand, ppos - rc_pos, ppos - pos[qidx])
+    read_of = rid[qidx]
+
+    order = np.lexsort((diag, strand.astype(np.int64), path, read_of))
+    read_s = read_of[order]
+    path_s = path[order]
+    strand_s = strand[order]
+    diag_s = diag[order]
+
+    new_cluster = np.ones(total, dtype=bool)
+    new_cluster[1:] = (
+        (read_s[1:] != read_s[:-1])
+        | (path_s[1:] != path_s[:-1])
+        | (strand_s[1:] != strand_s[:-1])
+        | (diag_s[1:] - diag_s[:-1] > max_diag_gap)
+    )
+    cluster_id = np.cumsum(new_cluster) - 1
+    n_clusters = int(cluster_id[-1]) + 1
+    first = np.nonzero(new_cluster)[0]
+    sizes = np.diff(np.concatenate([first, [total]]))
+    out = [[] for _ in range(n_reads)]
+    for ci in range(n_clusters):
+        f = first[ci]
+        l = f + sizes[ci] - 1
+        out[int(read_s[f])].append(
+            Candidate(
+                path=int(path_s[f]),
+                strand=bool(strand_s[f]),
+                diag_lo=int(diag_s[f]),
+                diag_hi=int(diag_s[l]),
+                n_seeds=int(sizes[ci]),
+            )
+        )
+    for ri in range(n_reads):
+        out[ri].sort(key=lambda c: -c.n_seeds)
+    return out

@@ -47,9 +47,7 @@ def build_window(
     plus every local alternative: oriented handles reachable forward
     from the first backbone handle AND backward from the last one
     (depth-bounded BFS), topologically ordered (Kahn)."""
-    from .index import _step_offsets
-
-    offs = _step_offsets(graph, path)
+    offs = graph.step_offsets(path)
     steps_node = graph.path_steps_node[path]
     steps_rev = graph.path_steps_rev[path]
     if len(steps_node) == 0:
@@ -60,19 +58,8 @@ def build_window(
         (int(steps_node[s]), bool(steps_rev[s])) for s in range(s0, s1 + 1)
     ]
 
-    # oriented adjacency (and reverse) from the edge list
-    fwd_adj: Dict[Tuple[int, bool], List[Tuple[int, bool]]] = {}
-    rev_adj: Dict[Tuple[int, bool], List[Tuple[int, bool]]] = {}
-
-    def add_edge(a, b):
-        fwd_adj.setdefault(a, []).append(b)
-        rev_adj.setdefault(b, []).append(a)
-
-    for f, fr, t, tr in zip(
-        graph.edge_from, graph.edge_from_rev, graph.edge_to, graph.edge_to_rev
-    ):
-        add_edge((int(f), bool(fr)), (int(t), bool(tr)))
-        add_edge((int(t), not bool(tr)), (int(f), not bool(fr)))
+    # oriented adjacency (and reverse), cached on the graph
+    fwd_adj, rev_adj = graph.oriented_adjacency()
 
     depth_cap = 2 * len(backbone) + 8
 
@@ -282,4 +269,107 @@ def align_to_window(q: np.ndarray, win: Window) -> Optional[GraphAlignment]:
         walk=walk,
         n_matches=n_matches,
         aligned_cols=aligned,
+    )
+
+
+# ---------------------------------------------------------------------------
+# native fast path (vgan_tpu/cpp/graphalign.cpp)
+# ---------------------------------------------------------------------------
+_native_lib = None
+_native_checked = False
+
+
+def _load_native():
+    global _native_lib, _native_checked
+    if _native_checked:
+        return _native_lib
+    _native_checked = True
+    try:
+        import ctypes
+        import os
+
+        from ..io.gam_native import _LIB_PATH, build
+
+        if not os.path.exists(_LIB_PATH):
+            build()
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.graph_align.restype = ctypes.c_int64
+        lib.graph_align.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ]
+        _native_lib = lib
+    except OSError:
+        _native_lib = None
+    return _native_lib
+
+
+def _window_csr(win: Window):
+    """Cache (ref codes, CSR preds) on the window."""
+    cached = getattr(win, "_csr", None)
+    if cached is not None:
+        return cached
+    ref = np.array(
+        [win.seqs[h][o] for h, o in zip(win.pos_handle, win.pos_offset)],
+        dtype=np.uint8,
+    )
+    counts = np.array([len(p) for p in win.pos_pred], dtype=np.int64)
+    off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    idx = (
+        np.concatenate([np.asarray(p, dtype=np.int32) for p in win.pos_pred])
+        if off[-1]
+        else np.zeros(0, dtype=np.int32)
+    )
+    win._csr = (ref, off, idx)
+    return win._csr
+
+
+def align_to_window_native(q: np.ndarray, win: Window) -> Optional[GraphAlignment]:
+    import ctypes
+
+    lib = _load_native()
+    if lib is None:
+        return align_to_window(q, win)
+    ref, off, idx = _window_csr(win)
+    n = len(q)
+    ncols = len(ref)
+    if n == 0 or ncols == 0:
+        return None
+    cap = 4 * (n + ncols) + 8
+    ops = np.zeros(cap, dtype=np.int32)
+    cols = np.zeros(cap, dtype=np.int32)
+    meta = np.zeros(5, dtype=np.int64)
+    wl = lib.graph_align(
+        np.ascontiguousarray(q, dtype=np.uint8).tobytes(), n,
+        ref.tobytes(), ncols,
+        off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cap,
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if wl < 0:
+        return None
+    opchar = "MXDI"
+    walk = []
+    for k in range(wl):
+        c = int(cols[k])
+        if c < 0:
+            walk.append((-1, 0, "I"))
+        else:
+            walk.append(
+                (int(win.pos_handle[c]), int(win.pos_offset[c]), opchar[ops[k]])
+            )
+    return GraphAlignment(
+        score=int(meta[0]),
+        read_start=int(meta[1]),
+        read_end=int(meta[2]),
+        walk=walk,
+        n_matches=int(meta[3]),
+        aligned_cols=int(meta[4]),
     )
