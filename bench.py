@@ -82,6 +82,46 @@ def bench_cpu(batch: HcBatch, support, iters=3):
     return N_READS / dt, final
 
 
+def bench_mapping():
+    """End-to-end mapping (seed + device SW + native graph alignment +
+    GAM projection) on an mtDNA-scale synthetic world."""
+    from vgan_tpu.io import fastx
+    from vgan_tpu.graph.synth import build_haplotype_graph, sample_reads
+    from vgan_tpu.mapper.giraffe import BatchedMapper
+
+    seqs, _ = fastx.read_fasta("/root/reference/test/input_files/rCRS.fa")
+    graph, _truth = build_haplotype_graph(
+        seqs[0], n_haplotypes=32, n_variants=120, seed=3
+    )
+    mapper = BatchedMapper(graph, k=31, w=11)
+    reads = sample_reads(graph, 5, n_reads=4000, seed=0)
+    mapper.map_reads(reads[:128])  # warm compile
+    t0 = time.perf_counter()
+    out = mapper.map_reads(reads)
+    dt = time.perf_counter() - t0
+    mapped = sum(1 for a in out if a.identity != 0)
+    return len(reads) / dt, mapped / len(reads)
+
+
+def bench_sw_kernel():
+    from vgan_tpu.mapper.sw_pallas import sw_scores_xla
+
+    rng = np.random.default_rng(0)
+    B, R, W = 4096, 128, 256
+    read = rng.integers(0, 4, size=(B, R)).astype(np.int32)
+    win = rng.integers(0, 4, size=(B, W)).astype(np.int32)
+    rlen = np.full(B, R, np.int32)
+    wlen = np.full(B, W, np.int32)
+    out = sw_scores_xla(read, win, rlen, wlen)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = sw_scores_xla(read, win, rlen, wlen)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / 10
+    return B * R * W / dt / 1e9
+
+
 def main():
     support = synth_support()
     tables = make_tables(support)
@@ -89,9 +129,9 @@ def main():
 
     tpu_rps, tpu_out = bench_tpu(batch, tables)
     cpu_rps, cpu_out = bench_cpu(batch, support)
-
-    # sanity: same argmax
     agree = int(np.argmax(tpu_out)) == int(np.argmax(cpu_out))
+    map_rps, map_frac = bench_mapping()
+    gcups = bench_sw_kernel()
 
     result = {
         "metric": "haplocart_reads_per_s",
@@ -100,6 +140,9 @@ def main():
         "vs_baseline": round(tpu_rps / cpu_rps, 2),
         "cpu_baseline_reads_per_s": round(cpu_rps, 1),
         "argmax_agrees": agree,
+        "mapping_reads_per_s": round(map_rps, 1),
+        "mapping_rate": round(map_frac, 4),
+        "sw_kernel_gcups": round(gcups, 2),
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))
