@@ -185,3 +185,37 @@ def test_diagnostics():
     r = diagnostics.rhat(np.array([0.0, 0.01]), np.array([1.0, 1.05]), 1000)
     assert r == pytest.approx(1.0, abs=0.05)
     assert diagnostics.rhat(np.array([1.0]), np.array([1.0]), 100) == -1
+
+
+def test_chain_parallel_over_mesh(toy_graph, toy_reads):
+    """Chains vmapped + sharded across the virtual 8-device CPU mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    from vgan_tpu.pipelines import soibean as sb
+    from vgan_tpu.utils.newick import parse_newick
+
+    stats = soibean.analyse_reads(toy_graph, toy_reads)
+    names = list(toy_graph.path_names)
+    t = parse_newick(f"({names[0]}:0.2,dummy:0.3)root;")
+    idx = t.name_to_index()
+    path_map = np.concatenate(
+        [stats.path_map, stats.path_map - 50.0, stats.path_map - 10.0], axis=1
+    )
+    counts25 = np.concatenate([stats.counts25] * 3, axis=1)
+    order = np.argsort([idx[names[0]], idx["dummy"], idx["root"]])
+    path_map = path_map[:, order]
+    counts25 = counts25[:, order, :]
+    freqs = soibean.make_freqs(0.25, 0.25, 0.25, 0.25)
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("dp",))
+    C = 8
+    srcs = np.full((C, 1), idx[names[0]], dtype=np.int32)
+    trace = tree_mcmc.run_tree_mcmc_chains(
+        t, path_map, counts25, srcs, freqs, con=0.01,
+        max_iter=150, burn=50, num_paths=3,
+        init_loglike=float(stats.path_map[:, 0].sum()),
+        seeds=np.arange(C), mesh=mesh,
+    )
+    assert trace.theta.shape[0] == C
+    assert np.isfinite(trace.loglike).all()

@@ -378,3 +378,59 @@ def run_tree_mcmc(
         node=np.asarray(rn), pos=np.asarray(rp), theta=np.asarray(rt),
         loglike=np.asarray(rl),
     )
+
+
+def run_tree_mcmc_chains(
+    tree,
+    stats_path_map: np.ndarray,
+    stats_counts25: np.ndarray,
+    sources_per_chain: np.ndarray,  # [C, k]
+    freqs: Dict[str, float],
+    con: float,
+    max_iter: int,
+    burn: int,
+    num_paths: int,
+    init_loglike: float,
+    seeds: np.ndarray,  # [C]
+    mesh=None,
+) -> MCMCTrace:
+    """Run C chains in one device program (vmap over chains).
+
+    With a Mesh, the chain axis shards across devices (the TPU-native
+    replacement for the reference's sequential chain loop,
+    `src/soibean.cpp:805-840`); traces come back stacked [C, ...]."""
+    sd = sd_schedule(max_iter, burn, num_paths)
+    freq_arr = jnp.asarray(
+        [freqs[n] for n in ["A", "C", "G", "T", "R", "Y", "M"]], F
+    )
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, jnp.uint32))
+    srcs = jnp.asarray(sources_per_chain, jnp.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("dp"))
+        keys = jax.device_put(keys, sh)
+        srcs = jax.device_put(srcs, sh)
+
+    run = jax.vmap(
+        lambda key, s: _run_chain(
+            key, s,
+            jnp.asarray(stats_path_map, F),
+            jnp.asarray(stats_counts25, F),
+            jnp.asarray(tree.parent, jnp.int32),
+            jnp.asarray(tree.dist, F),
+            jnp.asarray(tree.children, jnp.int32),
+            jnp.asarray(tree.n_children, jnp.int32),
+            sd,
+            jnp.asarray(con, F),
+            freq_arr,
+            init_loglike,
+            max_iter=max_iter,
+            burn=burn,
+        )
+    )
+    rn, rp, rt, rl = run(keys, srcs)
+    return MCMCTrace(
+        node=np.asarray(rn), pos=np.asarray(rp), theta=np.asarray(rt),
+        loglike=np.asarray(rl),
+    )

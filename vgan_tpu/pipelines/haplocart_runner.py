@@ -142,6 +142,12 @@ def run_sample(
     else:
         reads = get_reads(cfg, fasta_seq)
         alignments = mapper.map_reads(reads)
+        if cfg.fq2 or cfg.interleaved:
+            # mates map independently; flag them so duplicate removal
+            # uses the paired (start+end coordinate) rule
+            # (`src/rmdup.cpp:43-67`)
+            for a in alignments:
+                a.read_paired = True
     alignments = [a for a in alignments if a.identity != 0]  # vg filter -r 1
     alignments = gamsort(alignments)
     if not alignments:

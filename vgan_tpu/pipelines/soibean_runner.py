@@ -155,24 +155,35 @@ def run_soibean_inference(
         init_ll = sb.initial_log_like(
             stats, [name_of_col.index(p) for p in sub_paths if p in name_of_col]
         )
+        # chain 0 starts at the signature nodes, later chains random
+        # (`src/soibean.cpp:808-811`); all chains run in ONE device
+        # program, vmapped over the chain axis
+        from ..infer.tree_mcmc import run_tree_mcmc_chains
+
+        srcs = np.zeros((chains, k), dtype=np.int32)
+        srcs[0] = np.array(sig_nodes[: i + 1], dtype=np.int32)
+        for chain in range(1, chains):
+            srcs[chain] = rng.integers(0, tree.n_nodes, size=k)
+        traces = run_tree_mcmc_chains(
+            tree,
+            path_map_t,
+            counts25_t,
+            srcs,
+            freqs,
+            con=con,
+            max_iter=n_iter,
+            burn=burnin,
+            num_paths=len(path_names),
+            init_loglike=init_ll,
+            seeds=np.arange(chains) + seed * 1000 + k * 10,
+        )
         summaries: List[ChainSummary] = []
         for chain in range(chains):
-            if chain == 0:
-                sources = np.array(sig_nodes[: i + 1], dtype=np.int32)
-            else:
-                sources = rng.integers(0, tree.n_nodes, size=k).astype(np.int32)
-            trace = run_tree_mcmc(
-                tree,
-                path_map_t,
-                counts25_t,
-                sources,
-                freqs,
-                con=con,
-                max_iter=n_iter,
-                burn=burnin,
-                num_paths=len(path_names),
-                init_loglike=init_ll,
-                seed=seed * 1000 + k * 10 + chain,
+            trace = type(traces)(
+                node=traces.node[chain],
+                pos=traces.pos[chain],
+                theta=traces.theta[chain],
+                loglike=traces.loglike[chain],
             )
             summaries.append(
                 process_chain(trace, tree, k, out_prefix, chain, write_files)
