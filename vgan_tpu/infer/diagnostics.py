@@ -74,3 +74,48 @@ def rhat(means: np.ndarray, variances: np.ndarray, chain_length: int) -> float:
     if W == 0.0:
         return float("nan")  # identical-in-every-iteration parameter
     return float(np.sqrt(var_est / W))
+
+
+def patristic_distance_series(tree, nodes: np.ndarray, pos: np.ndarray):
+    """Euclidean patristic-distance series for a chain's recorded
+    (node, branch position) states, vs an all-ones initial vector
+    (`src/MCMC.h:576-621`, used at `src/MCMC.cpp:23-147` for the
+    branch-level ESS). posonbranch = dist[node] - pos*dist[node]."""
+    tree_n = len(tree.names)
+    leaves = np.nonzero(tree.n_children == 0)[0]
+    n_leaves = len(leaves)
+
+    # depth (distance to root) per node
+    depth = np.zeros(tree_n)
+    order = []
+    stack = [tree.root]
+    while stack:
+        x = stack.pop()
+        order.append(x)
+        for c in tree.children[x]:
+            if c >= 0:
+                depth[c] = depth[x] + tree.dist[c]
+                stack.append(int(c))
+
+    # ancestor matrix for LCA via sets (trees are small)
+    anc = [set() for _ in range(tree_n)]
+    for x in order:
+        p = tree.parent[x]
+        anc[x] = {x} | (anc[p] if p >= 0 else set())
+
+    # per (node, leaf): node-side and leaf-side distances to the LCA
+    dn = np.zeros((tree_n, n_leaves))
+    dl = np.zeros((tree_n, n_leaves))
+    for x in range(tree_n):
+        for j, lf in enumerate(leaves):
+            common = anc[x] & anc[lf]
+            lca = max(common, key=lambda a: depth[a])
+            dn[x, j] = depth[x] - depth[lca]
+            dl[x, j] = depth[lf] - depth[lca]
+
+    pob = tree.dist[nodes] * (1.0 - pos)  # posonbranch per sample
+    node_side = dn[nodes] - pob[:, None]  # [S, n_leaves]
+    total = node_side + dl[nodes]
+    valid = node_side >= 0.0
+    diff = np.where(valid, total - 1.0, 0.0)
+    return np.sqrt((diff * diff).sum(axis=1))

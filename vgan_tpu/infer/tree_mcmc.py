@@ -37,7 +37,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-F = jnp.float64
+# float64 on CPU (reference-parity tests); float32 on TPU — the axon
+# remote compiler's X64-rewriting pass stalls/hangs on the MCMC graph,
+# and MH sampling only needs statistical (not bitwise) precision there.
+F = jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
 
 
 class TreeArrays(NamedTuple):
@@ -120,15 +123,21 @@ def _pick_child(key, tree: TreeArrays, node):
     return tree.children[node, j]
 
 
+WALK_HOPS = 32  # fixed bound (the C++ loop is unbounded; moves rarely
+                # need more than ~10 branch hops)
+
+
 def update_position(key, tree: TreeArrays, node, pos, move, forward):
-    """One proposal move of `move` (>0) in direction `forward`."""
+    """One proposal move of `move` (>0) in direction `forward`.
 
-    def cond(c):
-        _k, _n, _p, d, _f, it = c
-        return (d > 0.0) & (it < 300)
+    A fixed-trip fori_loop with masked no-ops instead of a while_loop:
+    the axon remote compiler stalls on while-in-scan-in-vmap control
+    flow, and a bounded loop compiles quickly with identical results
+    for any walk shorter than WALK_HOPS."""
 
-    def body(c):
+    def body(_i, c):
         key, node, pos, d, fwd, it = c
+        active = d > 0.0
         key, k1, k2 = jax.random.split(key, 3)
         is_leaf = tree.n_children[node] == 0
         par = tree.parent[node]
@@ -218,10 +227,15 @@ def update_position(key, tree: TreeArrays, node, pos, move, forward):
         d2 = jnp.where(fwd, fw_d, bw_d)
         node2 = jnp.where(fwd, fw_node, bw_node)
         fwd2 = jnp.where(fwd, fw_fwd, bw_fwd)
+        # masked no-op once the move is exhausted
+        pos2 = jnp.where(active, pos2, pos)
+        d2 = jnp.where(active, d2, d)
+        node2 = jnp.where(active, node2, node)
+        fwd2 = jnp.where(active, fwd2, fwd)
         return (key, node2.astype(jnp.int32), pos2, d2, fwd2, it + 1)
 
-    key, node, pos, d, fwd, _ = jax.lax.while_loop(
-        cond, body, (key, node, pos, move, forward, 0)
+    key, node, pos, d, fwd, _ = jax.lax.fori_loop(
+        0, WALK_HOPS, body, (key, node, pos, move, forward, 0)
     )
     return node, pos
 
@@ -261,7 +275,14 @@ def _run_chain(
     max_iter: int,
     burn: int,
 ):
-    tree = TreeArrays(tree_parent, tree_dist, tree_children, tree_nchildren)
+    tree = TreeArrays(
+        tree_parent, jnp.asarray(tree_dist, F), tree_children, tree_nchildren
+    )
+    sd = jnp.asarray(sd, F)
+    con = jnp.asarray(con, F)
+    freq_arr = jnp.asarray(freq_arr, F)
+    path_map = jnp.asarray(path_map, F)
+    counts25 = jnp.asarray(counts25, F)
     k = init_nodes.shape[0]
     freqs = {
         n: freq_arr[i] for i, n in enumerate(["A", "C", "G", "T", "R", "Y", "M"])
@@ -294,7 +315,7 @@ def _run_chain(
         key, kd, kw, kt, ku = jax.random.split(key, 5)
 
         # branch-position proposal (skipped at iteration 0)
-        deltas = jax.random.normal(kd, (k,), dtype=F) * sd_it
+        deltas = jax.random.normal(kd, (k,), dtype=jnp.float32).astype(F) * sd_it
         walk_keys = jax.random.split(kw, k)
 
         def walk_one(wk, n, p, d):
@@ -308,13 +329,16 @@ def _run_chain(
         # proportion proposal: truncated N(theta, 0.1) on [0,1], renorm
         lo = (0.0 - theta) / 0.1
         hi = (1.0 - theta) / 0.1
-        z = jax.random.truncated_normal(kt, lo, hi, (k,), dtype=F)
+        z = jax.random.truncated_normal(
+            kt, lo.astype(jnp.float32), hi.astype(jnp.float32), (k,),
+            dtype=jnp.float32,
+        ).astype(F)
         new_theta = theta + 0.1 * z
         new_theta = new_theta / new_theta.sum()
 
         prop_ll = log_like(new_nodes, new_pos, new_theta)
         accept = (
-            jax.random.uniform(ku, dtype=F)
+            jax.random.uniform(ku, dtype=jnp.float32).astype(F)
             <= jnp.minimum(1.0, jnp.exp(prop_ll - cur_ll))
         ) | (it == 0)
 
@@ -329,8 +353,8 @@ def _run_chain(
 
     init_pos = jnp.full((k,), 0.5, dtype=F)
     init_theta = jax.random.dirichlet(
-        jax.random.fold_in(key, 17), jnp.ones(k, dtype=F)
-    )  # uniform random normalized start (`MCMC.h generateRandomNumbers`)
+        jax.random.fold_in(key, 17), jnp.ones(k, dtype=jnp.float32)
+    ).astype(F)  # uniform random normalized start (`MCMC.h generateRandomNumbers`)
     iters = jnp.arange(max_iter + 1)
     carry0 = (key, init_nodes, init_pos, init_theta, jnp.asarray(init_loglike, F))
     _, (rn, rp, rt, rl) = jax.lax.scan(step, carry0, (iters, jnp.asarray(sd)))

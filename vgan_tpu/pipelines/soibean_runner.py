@@ -56,6 +56,9 @@ def process_chain(
         vt, vp = dg.variance(theta, mt), dg.variance(pos, mp)
         at, ap = dg.autocorrelation(theta, 1), dg.autocorrelation(pos, 1)
         et, ep = dg.effective_sample_size(theta), dg.effective_sample_size(pos)
+        # branch-level ESS from the patristic-distance series
+        euc = dg.patristic_distance_series(tree, trace.node[:, s], pos)
+        ed = dg.effective_sample_size(euc)
         st, sp = np.sort(theta), np.sort(pos)
         est_lines.append(
             f"{name}\t{chain}\t{mt:.6g}\t{dg.quantile(st, 0.05):.6g}\t"
@@ -65,7 +68,7 @@ def process_chain(
         branch_lines.append(
             f"{name}\t{chain}\t{mp:.6g}\t{dg.quantile(sp, 0.05):.6g}\t"
             f"{dg.quantile(sp, 0.5):.6g}\t{dg.quantile(sp, 0.95):.6g}\t"
-            f"{ep:.6g}\t{ap:.6g}\t{vp:.6g}\t{ep:.6g}"
+            f"{ep:.6g}\t{ap:.6g}\t{vp:.6g}\t{ed:.6g}"
         )
         tmeans.append(mt)
         tvars.append(vt)
