@@ -122,6 +122,7 @@ def cmd_euka(args: List[str]) -> int:
     run_mcmc_flag = True
     ltp = 5
     out_frag = False
+    out_group = ""
     k, w = 20, 10
     i = 0
     while i < len(args):
@@ -164,6 +165,8 @@ def cmd_euka(args: List[str]) -> int:
             ltp = int(_take(args, i)); i += 2
         elif a == "--outFrag":
             out_frag = True; i += 1
+        elif a == "--outGroup":
+            out_group = _take(args, i); i += 2
         elif a == "-k":
             k = int(_take(args, i)); i += 2
         elif a == "-w":
@@ -195,6 +198,14 @@ def cmd_euka(args: List[str]) -> int:
         alignments, min_mq=min_mq, min_frag=min_frag, min_bins=min_bins,
         max_bins=max_bins, entropy_threshold=entropy,
     )
+    if out_group:
+        names = [c.name for c in clades]
+        if out_group not in names:
+            raise SystemExit("[euka] Outgroup not found in reference graph")
+        gi = names.index(out_group)
+        if gi not in res.detected:
+            # outgroup is always reported (`src/Euka.cpp:560-582,619-663`)
+            res.detected.append(gi)
     mcmc = (
         abundance_mcmc_from_result(res, n_iter=n_iter, burnin=burnin)
         if run_mcmc_flag
