@@ -87,8 +87,10 @@ def cmd_haplocart(args: List[str]) -> int:
             cfg.db_dir = _take(args, i); i += 2
         elif a == "-k":
             cfg.k = int(_take(args, i)); i += 2
-        elif a == "-w":
+        elif a == "--minw":
             cfg.w = int(_take(args, i)); i += 2
+        elif a == "-w":
+            cfg.webapp = True; i += 1  # webapp HTML output
         elif a == "-t":
             i += 2  # thread count accepted for compatibility
         else:

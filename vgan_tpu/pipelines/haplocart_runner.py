@@ -33,6 +33,7 @@ class HaplocartConfig:
     background_error_prob: float = 0.0001
     samplename: str = ""
     quiet: bool = False
+    webapp: bool = False
     k: int = 31
     w: int = 11
 
@@ -189,9 +190,20 @@ def run(cfg: HaplocartConfig) -> List[Tuple[str, str, int]]:
             )
             if cfg.fasta:
                 n_reads = 1  # `src/HaploCart.cpp:427`
-            if idx == 0:
-                out.write("#sample\tpredicted haplogroup\treads\n")
-            out.write(f"{name.replace(' ', '_')}\t{pred}\t{n_reads}\n")
+            if cfg.webapp:
+                # HTML tables (`src/HaploCart.cpp:441-457`)
+                out.write("\n\n\n<table>\n")
+                label = "#sample" if cfg.fasta else "Sample Number"
+                shown = name.replace(" ", "_") if cfg.fasta else str(idx + 1)
+                out.write(f"<tr><td>{label}</td><td>&emsp;Haplogroup\n")
+                out.write(
+                    f"<tr><td>{shown}</td><td>&emsp;<strong>{pred}</strong>\n"
+                )
+                out.write("</table><br><br>\n")
+            else:
+                if idx == 0:
+                    out.write("#sample\tpredicted haplogroup\treads\n")
+                out.write(f"{name.replace(' ', '_')}\t{pred}\t{n_reads}\n")
             results.append((name, pred, n_reads))
             if cfg.posterior_file:
                 post = hc.get_posterior(db, final_vec, pred)

@@ -88,6 +88,28 @@ def process_chain(
                 if new:
                     f.write(header)
                 f.write("\n".join(lines) + "\n")
+        # detail trace with move markers (state change => accepted;
+        # the reference logs proposals pre-accept, `src/MCMC.cpp:1022-1056`)
+        with gzip.open(f"{out_prefix}Trace{k}{chain}.detail.mcmc", "wt") as f:
+            f.write(
+                "".join(
+                    f"Source_{s2+1}\tLog-likelihood\tproportion_{s2+1}\t"
+                    f"branch_position_derived_{s2+1}\tMove\t"
+                    for s2 in range(k)
+                )
+                + "\n"
+            )
+            for it in range(1, len(trace.loglike)):
+                moved = trace.loglike[it] != trace.loglike[it - 1]
+                mark = "accepted" if moved else "rejected"
+                row = []
+                for s2 in range(k):
+                    row.append(
+                        f"{tree.names[int(trace.node[it, s2])]}\t"
+                        f"{trace.loglike[it]:.14g}\t{trace.theta[it, s2]:.14g}\t"
+                        f"{trace.pos[it, s2]:.14g}\t{mark}"
+                    )
+                f.write("\t".join(row) + "\n")
         # gzip trace of recorded states
         with gzip.open(f"{out_prefix}Result{k}{chain}.mcmc", "wt") as f:
             f.write(
