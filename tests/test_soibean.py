@@ -219,3 +219,48 @@ def test_chain_parallel_over_mesh(toy_graph, toy_reads):
     )
     assert trace.theta.shape[0] == C
     assert np.isfinite(trace.loglike).all()
+
+
+def test_checkpointed_mcmc_resumes(toy_graph, toy_reads, tmp_path):
+    """Segmented sampler with a checkpoint produces the same trace as a
+    straight run, and resumes from the snapshot after interruption."""
+    from vgan_tpu.infer.tree_mcmc import (
+        run_tree_mcmc_checkpointed,
+    )
+    from vgan_tpu.utils.newick import parse_newick
+
+    stats = soibean.analyse_reads(toy_graph, toy_reads)
+    names = list(toy_graph.path_names)
+    t = parse_newick(f"({names[0]}:0.2,dummy:0.3)root;")
+    idx = t.name_to_index()
+    path_map = np.concatenate(
+        [stats.path_map, stats.path_map - 50.0, stats.path_map - 10.0], axis=1
+    )
+    counts25 = np.concatenate([stats.counts25] * 3, axis=1)
+    order = np.argsort([idx[names[0]], idx["dummy"], idx["root"]])
+    path_map = path_map[:, order]
+    counts25 = counts25[:, order, :]
+    freqs = soibean.make_freqs(0.25, 0.25, 0.25, 0.25)
+    src = np.array([idx[names[0]]], dtype=np.int32)
+    kw = dict(
+        con=0.01, max_iter=300, burn=50, num_paths=3,
+        init_loglike=float(stats.path_map[:, 0].sum()), seed=5,
+    )
+    straight = run_tree_mcmc_checkpointed(
+        t, path_map, counts25, src, freqs, checkpoint_path=None,
+        checkpoint_every=1000, **kw,
+    )
+    ckpt = str(tmp_path / "chain.npz")
+    # run the first segment only (checkpoint_every < total), then resume
+    partial_run = run_tree_mcmc_checkpointed(
+        t, path_map, counts25, src, freqs, checkpoint_path=ckpt,
+        checkpoint_every=100, **kw,
+    )
+    np.testing.assert_allclose(straight.loglike, partial_run.loglike)
+    np.testing.assert_array_equal(straight.node, partial_run.node)
+    # resuming a finished checkpoint returns the same trace
+    resumed = run_tree_mcmc_checkpointed(
+        t, path_map, counts25, src, freqs, checkpoint_path=ckpt,
+        checkpoint_every=100, **kw,
+    )
+    np.testing.assert_allclose(straight.loglike, resumed.loglike)

@@ -458,3 +458,184 @@ def run_tree_mcmc_chains(
         node=np.asarray(rn), pos=np.asarray(rp), theta=np.asarray(rt),
         loglike=np.asarray(rl),
     )
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume (SURVEY.md §5: the reference has none; long MCMC
+# runs here snapshot chain state periodically and resume exactly)
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=())
+def _run_segment(
+    carry_key, carry_nodes, carry_pos, carry_theta, carry_ll,
+    iters,  # [S] absolute iteration numbers
+    sd_seg,  # [S]
+    path_map, counts25,
+    tree_parent, tree_dist, tree_children, tree_nchildren,
+    con, freq_arr,
+):
+    tree = TreeArrays(
+        tree_parent, jnp.asarray(tree_dist, F), tree_children, tree_nchildren
+    )
+    sd_seg = jnp.asarray(sd_seg, F)
+    con = jnp.asarray(con, F)
+    path_map = jnp.asarray(path_map, F)
+    counts25 = jnp.asarray(counts25, F)
+    freq_arr = jnp.asarray(freq_arr, F)
+    k = carry_nodes.shape[0]
+    freqs = {
+        n: freq_arr[i] for i, n in enumerate(["A", "C", "G", "T", "R", "Y", "M"])
+    }
+
+    def log_like(nodes, pos, theta):
+        par = tree.parent[nodes]
+        par = jnp.where(par < 0, nodes, par)
+        t = tree.dist[nodes]
+        t = jnp.where(t == 0.0, 1e-5, t)
+        t1 = pos * t
+        t2 = t - t1
+
+        def source_ll(c, p, t1_y, t2_y, pos_y):
+            h_c = hky25(t2_y, con, freqs)
+            h_p = hky25(t1_y, con, freqs)
+            llc = path_map[:, c] + counts25[:, c, :] @ h_c
+            llp = path_map[:, p] + counts25[:, p, :] @ h_p
+            return jnp.logaddexp(jnp.log(pos_y) + llc, jnp.log1p(-pos_y) + llp)
+
+        per_src = jax.vmap(source_ll)(nodes, par, t1, t2, pos)
+        inter = jax.scipy.special.logsumexp(
+            per_src + jnp.log(theta)[:, None], axis=0
+        )
+        return inter.sum()
+
+    def step(carry, inp):
+        key, nodes, pos, theta, cur_ll = carry
+        it, sd_it = inp
+        key, kd, kw, kt, ku = jax.random.split(key, 5)
+        deltas = jax.random.normal(kd, (k,), dtype=jnp.float32).astype(F) * sd_it
+        walk_keys = jax.random.split(kw, k)
+
+        def walk_one(wk, n, p, d):
+            return update_position(wk, tree, n, p, jnp.abs(d), d >= 0)
+
+        new_nodes, new_pos = jax.vmap(walk_one)(walk_keys, nodes, pos, deltas)
+        new_nodes = jnp.where(it == 0, nodes, new_nodes)
+        new_pos = jnp.where(it == 0, pos, new_pos)
+        new_pos = jnp.clip(new_pos, 1e-12, 1.0 - 1e-10)
+        lo = (0.0 - theta) / 0.1
+        hi = (1.0 - theta) / 0.1
+        z = jax.random.truncated_normal(
+            kt, lo.astype(jnp.float32), hi.astype(jnp.float32), (k,),
+            dtype=jnp.float32,
+        ).astype(F)
+        new_theta = theta + 0.1 * z
+        new_theta = new_theta / new_theta.sum()
+        prop_ll = log_like(new_nodes, new_pos, new_theta)
+        accept = (
+            jax.random.uniform(ku, dtype=jnp.float32).astype(F)
+            <= jnp.minimum(1.0, jnp.exp(prop_ll - cur_ll))
+        ) | (it == 0)
+        rec = (nodes, pos, theta, cur_ll)
+        nodes = jnp.where(accept, new_nodes, nodes)
+        pos = jnp.where(accept, new_pos, pos)
+        theta = jnp.where(accept, new_theta, theta)
+        cur_ll = jnp.where(accept, prop_ll, cur_ll)
+        return (key, nodes, pos, theta, cur_ll), rec
+
+    carry0 = (carry_key, carry_nodes, carry_pos, carry_theta, carry_ll)
+    carry, recs = jax.lax.scan(step, carry0, (iters, sd_seg))
+    return carry, recs
+
+
+def run_tree_mcmc_checkpointed(
+    tree,
+    stats_path_map: np.ndarray,
+    stats_counts25: np.ndarray,
+    sources: np.ndarray,
+    freqs: Dict[str, float],
+    con: float,
+    max_iter: int,
+    burn: int,
+    num_paths: int,
+    init_loglike: float,
+    seed: int = 0,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 100000,
+) -> MCMCTrace:
+    """Segmented sampler with exact resume: chain state + recorded
+    samples snapshot to `checkpoint_path` every `checkpoint_every`
+    iterations; rerunning with the same path continues where the last
+    snapshot left off."""
+    import os
+
+    sd = sd_schedule(max_iter, burn, num_paths)
+    freq_arr = np.asarray([freqs[n] for n in ["A", "C", "G", "T", "R", "Y", "M"]])
+    total = max_iter + 1
+    k = len(sources)
+
+    start = 0
+    segments: list = []
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        z = np.load(checkpoint_path, allow_pickle=False)
+        start = int(z["next_iter"])
+        carry = (
+            jnp.asarray(z["key"]),
+            jnp.asarray(z["nodes"], jnp.int32),
+            jnp.asarray(z["pos"], F),
+            jnp.asarray(z["theta"], F),
+            jnp.asarray(z["ll"], F),
+        )
+        segments = [
+            (z["rec_nodes"], z["rec_pos"], z["rec_theta"], z["rec_ll"])
+        ]
+    else:
+        key = jax.random.PRNGKey(seed)
+        init_theta = jax.random.dirichlet(
+            jax.random.fold_in(key, 17), jnp.ones(k, dtype=jnp.float32)
+        ).astype(F)
+        carry = (
+            key,
+            jnp.asarray(sources, jnp.int32),
+            jnp.full((k,), 0.5, dtype=F),
+            init_theta,
+            jnp.asarray(init_loglike, F),
+        )
+
+    args = (
+        jnp.asarray(stats_path_map, F),
+        jnp.asarray(stats_counts25, F),
+        jnp.asarray(tree.parent, jnp.int32),
+        jnp.asarray(tree.dist, F),
+        jnp.asarray(tree.children, jnp.int32),
+        jnp.asarray(tree.n_children, jnp.int32),
+        jnp.asarray(con, F),
+        jnp.asarray(freq_arr, F),
+    )
+    while start < total:
+        end = min(start + checkpoint_every, total)
+        iters = jnp.arange(start, end)
+        carry, recs = _run_segment(*carry, iters, jnp.asarray(sd[start:end]), *args)
+        rn, rp, rt, rl = (np.asarray(x) for x in recs)
+        segments.append((rn, rp, rt, rl))
+        start = end
+        if checkpoint_path:
+            acc = [np.concatenate([seg[i] for seg in segments]) for i in range(4)]
+            np.savez(
+                checkpoint_path,
+                next_iter=start,
+                key=np.asarray(carry[0]),
+                nodes=np.asarray(carry[1]),
+                pos=np.asarray(carry[2]),
+                theta=np.asarray(carry[3]),
+                ll=np.asarray(carry[4]),
+                rec_nodes=acc[0], rec_pos=acc[1], rec_theta=acc[2],
+                rec_ll=acc[3],
+            )
+            segments = [tuple(acc)]
+
+    rn, rp, rt, rl = (
+        np.concatenate([seg[i] for seg in segments]) for i in range(4)
+    )
+    return MCMCTrace(
+        node=rn[burn + 1 :], pos=rp[burn + 1 :], theta=rt[burn + 1 :],
+        loglike=rl[burn + 1 :],
+    )
