@@ -107,7 +107,7 @@ def cmd_euka(args: List[str]) -> int:
 
     from .graph.packed import PackedGraph
     from .io import fastx, gam as gamio
-    from .mapper.giraffe import Mapper
+    from .mapper.giraffe import BatchedMapper as Mapper
     from .models.damage import DamageModel
     from .pipelines import euka as ek
     from .pipelines.euka_runner import abundance_mcmc_from_result, write_outputs
@@ -221,7 +221,7 @@ def cmd_soibean(args: List[str]) -> int:
     import os
 
     from .io import fastx, gam as gamio
-    from .mapper.giraffe import Mapper
+    from .mapper.giraffe import BatchedMapper as Mapper
     from .pipelines import soibean as sb
     from .pipelines.soibean_runner import run_soibean_inference
     from .utils.newick import read_newick
@@ -369,6 +369,20 @@ def cmd_gam2prof(args: List[str]) -> int:
         _write_prof(
             f"{out}_{clade.name}.prof", _prof_rates(baseshift[i_c], ltp), ltp
         )
+        # raw 16-cell counts (`Baseshift::display_counts`,
+        # `src/baseshift.cpp:124-143`)
+        with open(f"{out}_{clade.name}.all", "w") as f:
+            hdr = (
+                "A>A\tA>C\tA>G\tA>T\tC>A\tC>C\tC>G\tC>T\tG>A\tG>C\t"
+                "G>G\tG>T\tT>A\tT>C\tT>G\tT>T\tPosition\n"
+            )
+            f.write(hdr)
+            for p_ in range(2 * ltp):
+                pos = p_ if p_ < ltp else -(2 * ltp) + p_
+                f.write(
+                    "\t".join(str(x) for x in baseshift[i_c][p_])
+                    + f"\t\t{pos}\n"
+                )
     return 0
 
 

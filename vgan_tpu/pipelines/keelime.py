@@ -340,7 +340,7 @@ def main_keelime(args: List[str]) -> int:
     import os
 
     from ..io import fastx, gam as gamio
-    from ..mapper.giraffe import Mapper
+    from ..mapper.giraffe import BatchedMapper as Mapper
     from ..cli import _take, _load_graph
 
     dbprefix = ""
@@ -349,6 +349,8 @@ def main_keelime(args: List[str]) -> int:
     out = "keelime_output"
     ref_path_name = ""
     min_cov = 1
+    min_len, min_score = 10, 15
+    mode = "normal"
     i = 0
     while i < len(args):
         a = args[i]
@@ -366,6 +368,12 @@ def main_keelime(args: List[str]) -> int:
             ref_path_name = _take(args, i); i += 2
         elif a == "-c":
             min_cov = int(_take(args, i)); i += 2
+        elif a == "-mL":
+            min_len = int(_take(args, i)); i += 2
+        elif a == "-mS":
+            min_score = int(_take(args, i)); i += 2
+        elif a == "--mode":
+            mode = _take(args, i); i += 2
         elif a == "-t":
             i += 2
         else:
@@ -381,7 +389,13 @@ def main_keelime(args: List[str]) -> int:
         mapper = Mapper(graph)
         alignments = mapper.map_reads(fastx.read_fastq(fq1))
     reads = analyse_gam(graph, alignments, ref_path=ref_path)
-    contigs = assemble(reads)
+    # mode-dependent stringency (`src/assembly.cpp` majority rules):
+    # reckless merges aggressively, strict demands stronger overlaps
+    if mode == "reckless":
+        min_score = max(5, min_score // 2)
+    elif mode == "strict":
+        min_score = min_score * 2
+    contigs = assemble(reads, min_len=min_len, min_score=min_score)
     cons = consensus(graph, contigs, ref_path=ref_path, min_coverage=min_cov)
     write_outputs(out, contigs, cons)
     print(
