@@ -223,6 +223,21 @@ def assign_clade(chunks, first_node: int) -> Tuple[int, float]:
     return c_n, entropy
 
 
+def clade_lookup_table(chunks) -> np.ndarray:
+    """Paint-once node-id -> clade table. Bins painted in scan order so
+    later bins overwrite earlier ones — identical to assign_clade's
+    last-match-wins loop, O(1) per lookup."""
+    max_id = 0
+    for row in chunks:
+        for lo, hi, _ in row:
+            max_id = max(max_id, hi)
+    table = np.zeros(max_id + 2, dtype=np.int32)
+    for i, row in enumerate(chunks):
+        for lo, hi, _ in row:
+            table[lo : hi + 1] = i
+    return table
+
+
 def baseshift_update(counts: np.ndarray, graph_seq: str, read_seq: str, ltp: int):
     """Baseshift::baseshift_calc (`src/baseshift.cpp:57-88`): 16-cell
     substitution counts at the first/last lengthToProf positions."""
@@ -260,6 +275,7 @@ class EukaScorer:
         self.qtab = jnp.asarray(phred.qscore_vec())
         self.bfreq = jnp.asarray(BASE_FREQ_LOG)
         self.ttr = jnp.asarray(T_T_RATIO)
+        self._clade_table = clade_lookup_table(chunks)
 
     def score(
         self,
@@ -294,7 +310,7 @@ class EukaScorer:
                 batch, recon, in_lik, not_lik
             ):
                 first_node = a.path.mappings[0].position.node_id
-                c_n, _ = assign_clade(self.chunks, first_node)
+                c_n = self._lookup_clade(first_node)
                 n_mapped[c_n] += 1
                 baseshift_update(baseshift[c_n], graph_seq, read_seq, self.ltp)
 
@@ -345,6 +361,11 @@ class EukaScorer:
             detected=detected,
         )
 
+    def _lookup_clade(self, node_id: int) -> int:
+        if 0 <= node_id < len(self._clade_table):
+            return int(self._clade_table[node_id])
+        return 0
+
     # ------------------------------------------------------------------
     def _score_device(self, batch, recon):
         B = len(batch)
@@ -380,7 +401,7 @@ class EukaScorer:
             # subDeamDiNuc first index: read length, clamped to table
             L_read[b] = min(max(Lseq, 1), 1000)
             first_node = a.path.mappings[0].position.node_id
-            c_n, _ = assign_clade(self.chunks, first_node)
+            c_n = self._lookup_clade(first_node)
             pair_dist[b] = self.clades[c_n].dist
             valid[b, :L] = True
 
