@@ -124,3 +124,19 @@ def test_fa2fq_windows():
     reads2 = fastx.fa2fq_reads("N" * 300, dummy_qual=30)
     assert set(reads2[0].seq) == {"A"}
     assert set(reads2[0].qual) == {0}
+
+
+def test_device_scorer_matches_host(toy_db, toy_reads):
+    """The fully on-device scorer (haplocart_device) agrees with the
+    exact host path on real alignments."""
+    import jax.numpy as jnp
+
+    from vgan_tpu.pipelines import haplocart_device as hcd
+
+    # toy graph nodes up to 32bp -> pass a bigger tile
+    batch = hcd.batch_from_alignments(toy_db, toy_reads, max_node_len=64)
+    tables = hcd.make_tables_from_db(toy_db, dtype=jnp.float64)
+    got = np.asarray(hcd.score_batch(batch, tables))
+    want = hc.score_alignments(toy_db, toy_reads, precise=True)
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+    assert int(np.argmax(got)) == int(np.argmax(want))

@@ -122,3 +122,89 @@ def synth_support(n_nodes: int = 11825, n_paths: int = 5179, seed: int = 1):
     # variant nodes are sparse
     support = rng.random((n_nodes, n_paths)) < 0.85
     return support.astype(np.float32)
+
+
+def batch_from_alignments(db, alignments, max_node_len: int = 8):
+    """Build an HcBatch from real GAM alignments (device-scorer input).
+
+    Host prep mirrors pipelines/haplocart.mapping_scalars (same quirks:
+    read bases from the read start, per-mapping quality slices, whole-
+    read unsupported penalty); the per-base math then runs on device.
+    Mappings longer than max_node_len are truncated to it (the real HC
+    graph has <=8bp nodes, `src/test.cpp:627`); pass a larger value for
+    graphs with longer nodes."""
+    from ..graph.reconstruct import reconstruct_graph_sequence
+    from ..models import phred
+    from ..utils import dna
+
+    rows_g, rows_r, rows_q = [], [], []
+    pang, mq, bvec, node, valid = [], [], [], [], []
+    qscore = phred.qscore_vec()
+    S = max_node_len
+    for a in alignments:
+        if a.identity < 1e-10 or not a.path.mappings:
+            continue
+        graph_seq, read_seq, sizes = reconstruct_graph_sequence(
+            db.graph, a.path, a.sequence
+        )
+        gcodes = dna.encode(graph_seq)
+        rcodes = dna.encode(read_seq)
+        L = len(read_seq)
+        qual = np.zeros(2 * L + 8, dtype=np.int64)
+        q_raw = np.frombuffer(a.quality, dtype=np.uint8)
+        qual[: len(q_raw)] = q_raw
+        pos = 0
+        for i, m in enumerate(a.path.mappings):
+            size = sizes[i] if i < len(sizes) else 0
+            take = min(size, S)
+            g_row = np.full(S, 255, dtype=np.int32)
+            r_row = np.full(S, 255, dtype=np.int32)
+            q_row = np.zeros(S, dtype=np.int32)
+            v_row = np.zeros(S, dtype=bool)
+            g_row[:take] = gcodes[pos : pos + take]
+            r_row[:take] = rcodes[:take]  # quirk: from read start
+            q_row[:take] = qual[pos : pos + take]
+            v_row[:take] = True
+            rows_g.append(g_row)
+            rows_r.append(r_row)
+            rows_q.append(q_row)
+            nidx = a.path.mappings[i].position.node_id - db.graph.min_id
+            node.append(nidx)
+            pang.append(int(db.pangenome_base[nidx]))
+            mq.append(min(a.mapping_quality, 99))
+            # unsupported-path penalty over the remaining read
+            qs = qscore[np.clip(qual[pos : pos + L], 0, 99)]
+            bvec.append(float(np.log(qs).sum()))
+            valid.append(v_row)
+            pos += size
+    M = len(node)
+    if M == 0:
+        return None
+    return HcBatch(
+        g=jnp.asarray(np.stack(rows_g)),
+        r=jnp.asarray(np.stack(rows_r)),
+        q=jnp.asarray(np.stack(rows_q)),
+        pang=jnp.asarray(np.array(pang, dtype=np.int32)),
+        mq=jnp.asarray(np.array(mq, dtype=np.int32)),
+        b=jnp.asarray(np.array(bvec)),
+        node=jnp.asarray(np.array(node, dtype=np.int32)),
+        valid=jnp.asarray(np.stack(valid)),
+    )
+
+
+def make_tables_from_db(db, dtype=jnp.float32) -> HcTables:
+    from ..models import mutation, phred
+
+    mapp = db.mappabilities
+    need = int(db.pangenome_base.max()) + 1
+    if len(mapp) < need:
+        mapp = np.concatenate([mapp, np.ones(need - len(mapp))])
+    bg = np.concatenate([mutation.BACKGROUND_FREQ, [0.25, 0.25, 0.25]])
+    return HcTables(
+        match_tab=jnp.asarray(db.match_prob, dtype),
+        mapp_tab=jnp.asarray(mapp, dtype),
+        qtab=jnp.asarray(phred.qscore_vec(), dtype),
+        imtab=jnp.asarray(phred.incorrect_mapping_vec(), dtype),
+        bg=jnp.asarray(bg, dtype),
+        support=jnp.asarray(db.graph.path_support, dtype),
+    )
