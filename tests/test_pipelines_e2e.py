@@ -126,3 +126,22 @@ def test_duprm_cli(ref, tmp_path, toy_reads):
 def test_version_cli(capsys):
     assert cli.main(["version"]) == 0
     assert "tpu" in capsys.readouterr().out
+
+
+def test_map_subcommand_roundtrip(toy_db_dir, ref, tmp_path, toy_graph):
+    out = tmp_path / "mapped.gam"
+    rc = cli.main([
+        "map", "--db", str(toy_db_dir / "graph.npz"),
+        "-fq1", str(ref / "test/reconstructInputSeq/test_reads.fq"),
+        "-o", str(out), "-k", "20", "--minw", "10",
+    ])
+    assert rc == 0
+    back = gam.read_gam(str(out))
+    assert len(back) == 10
+    assert sum(1 for a in back if a.identity != 0) == 10
+    # the written GAM reconstructs cleanly
+    from vgan_tpu.graph.reconstruct import reconstruct_graph_sequence
+
+    for a in back:
+        g, r, _ = reconstruct_graph_sequence(toy_graph, a.path, a.sequence)
+        assert len(g) == len(r)

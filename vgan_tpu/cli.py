@@ -47,6 +47,8 @@ def main(argv: List[str] | None = None) -> int:
         return cmd_gam2prof(rest)
     if cmd == "build-db":
         return cmd_build_db(rest)
+    if cmd == "map":
+        return cmd_map(rest)
     if cmd == "bench":
         import runpy
 
@@ -383,6 +385,50 @@ def cmd_gam2prof(args: List[str]) -> int:
                     "\t".join(str(x) for x in baseshift[i_c][p_])
                     + f"\t\t{pos}\n"
                 )
+    return 0
+
+
+def cmd_map(args: List[str]) -> int:
+    """map --db <dir|prefix> -fq1 reads.fq [-fq2 mates.fq] -o out.gam
+    [-k K] [--minw W]: the standalone giraffe-equivalent mapper —
+    produces a GAM consumable by this framework and by vg."""
+    from .io import fastx, gam as gamio
+    from .mapper.giraffe import BatchedMapper
+
+    db = ""
+    fq1 = fq2 = ""
+    out = "/dev/stdout"
+    k, w = 20, 10
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--db":
+            db = _take(args, i); i += 2
+        elif a == "-fq1":
+            fq1 = _take(args, i); i += 2
+        elif a == "-fq2":
+            fq2 = _take(args, i); i += 2
+        elif a == "-o":
+            out = _take(args, i); i += 2
+        elif a == "-k":
+            k = int(_take(args, i)); i += 2
+        elif a == "--minw":
+            w = int(_take(args, i)); i += 2
+        else:
+            print(f"[map] ignoring unknown flag {a}", file=sys.stderr)
+            i += 1
+    graph = _load_graph(db)
+    mapper = BatchedMapper(graph, k=k, w=w)
+    reads = fastx.read_fastq(fq1)
+    if fq2:
+        reads += fastx.read_fastq(fq2)
+    alignments = mapper.map_reads(reads)
+    if fq2:
+        for a2 in alignments:
+            a2.read_paired = True
+    gamio.write_gam(out, alignments)
+    mapped = sum(1 for a2 in alignments if a2.identity != 0)
+    print(f"[map] mapped {mapped}/{len(reads)} reads -> {out}", file=sys.stderr)
     return 0
 
 
