@@ -145,3 +145,30 @@ def test_map_subcommand_roundtrip(toy_db_dir, ref, tmp_path, toy_graph):
     for a in back:
         g, r, _ = reconstruct_graph_sequence(toy_graph, a.path, a.sequence)
         assert len(g) == len(r)
+
+
+def test_haplocart_error_cases(toy_db_dir, ref):
+    """Error handling parity (`src/test.cpp:655-825`)."""
+    fq = str(ref / "test/reconstructInputSeq/test_reads.fq")
+    # invalid background error probability
+    for bep in (2.0, -2.0):
+        with pytest.raises(RuntimeError):
+            run(HaplocartConfig(db_dir=str(toy_db_dir), fq1=fq,
+                                background_error_prob=bep))
+    # missing input files
+    with pytest.raises(RuntimeError):
+        run(HaplocartConfig(db_dir=str(toy_db_dir), fq1="not_a_real_file.fq"))
+    with pytest.raises(RuntimeError):
+        run(HaplocartConfig(db_dir=str(toy_db_dir), gamfile="not_real.gam"))
+    with pytest.raises(RuntimeError):
+        run(HaplocartConfig(db_dir=str(toy_db_dir), fasta="not_real.fa"))
+    # no input at all
+    with pytest.raises(RuntimeError):
+        run(HaplocartConfig(db_dir=str(toy_db_dir)))
+    # multiple incompatible inputs
+    with pytest.raises(RuntimeError):
+        run(HaplocartConfig(db_dir=str(toy_db_dir), fq1=fq, gamfile=fq))
+    # FASTA given as -fq1 (wrong format)
+    with pytest.raises(RuntimeError):
+        run(HaplocartConfig(db_dir=str(toy_db_dir),
+                            fq1=str(ref / "test/input_files/rCRS.fa")))

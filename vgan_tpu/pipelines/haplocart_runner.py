@@ -166,7 +166,33 @@ def run_sample(
     return pred, n_reads, final_vec
 
 
+def validate(cfg: HaplocartConfig) -> None:
+    """Input validation mirroring `src/HaploCart.cpp:107-110,255-261`
+    and the error cases asserted by the reference test suite
+    (`src/test.cpp:655-825`)."""
+    if not 0.0 <= cfg.background_error_prob <= 1.0:
+        raise RuntimeError(
+            "[HaploCart] Error, option -e is not a valid probability."
+        )
+    n_inputs = sum(
+        1 for x in (cfg.gamfile, cfg.fasta, cfg.fq1, cfg.fq2) if x
+    )
+    if n_inputs == 0:
+        raise RuntimeError("[HaploCart] Error, no input file given")
+    if n_inputs > 1 and not (
+        cfg.fq1 and cfg.fq2 and not cfg.gamfile and not cfg.fasta
+    ):
+        raise RuntimeError("[HaploCart] Error, cannot accept multiple input files.")
+    for f in (cfg.gamfile, cfg.fasta, cfg.fq1, cfg.fq2):
+        if f and not os.path.exists(f):
+            raise RuntimeError(f"[HaploCart] Error, input file {f} does not exist")
+    # FASTA handed to -fq1 (`src/test.cpp:736-742` wrong-format case)
+    if cfg.fq1.endswith((".fa", ".fasta", ".fa.gz", ".fasta.gz")):
+        raise RuntimeError("[HaploCart] Error, input file must be FASTQ")
+
+
 def run(cfg: HaplocartConfig) -> List[Tuple[str, str, int]]:
+    validate(cfg)
     db = load_db(cfg.db_dir)
     mapper = None
     if not cfg.gamfile:
