@@ -40,7 +40,13 @@ import numpy as np
 # float64 on CPU (reference-parity tests); float32 on TPU — the axon
 # remote compiler's X64-rewriting pass stalls/hangs on the MCMC graph,
 # and MH sampling only needs statistical (not bitwise) precision there.
-F = jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+# Decided from the configured platform string (NOT default_backend(),
+# which would force backend initialization at import time).
+F = (
+    jnp.float64
+    if str(jax.config.jax_platforms or "").startswith("cpu")
+    else jnp.float32
+)
 
 
 class TreeArrays(NamedTuple):
