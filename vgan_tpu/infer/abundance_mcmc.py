@@ -26,7 +26,7 @@ std::random_device and its tests assert only statistical windows
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

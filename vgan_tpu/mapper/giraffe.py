@@ -26,7 +26,7 @@ filters (`src/process_mapping.cpp:41`, `src/Euka.cpp:184`).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -35,7 +35,7 @@ from ..io import gam
 from ..io.fastx import Read
 from ..utils import dna
 from . import minimizer as mz
-from .align import FULL_LENGTH_BONUS, LocalAlignment, smith_waterman
+from .align import FULL_LENGTH_BONUS
 from .index import MinimizerIndex, _path_codes, _step_offsets
 
 

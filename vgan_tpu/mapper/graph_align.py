@@ -17,12 +17,11 @@ mapper/align.py.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from ..graph.packed import PackedGraph
-from ..utils import dna
 from .align import FULL_LENGTH_BONUS, GAP_EXT, GAP_OPEN, MATCH, MISMATCH
 
 NEG = -(10**9)

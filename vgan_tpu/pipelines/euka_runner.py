@@ -11,7 +11,7 @@ Output schemas mirror `src/Euka.cpp:585-1184`:
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -12,7 +12,6 @@ This function is the framework's flagship jittable step: it is what
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -17,7 +17,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..infer import diagnostics as dg
-from ..infer.tree_mcmc import MCMCTrace, run_tree_mcmc
+from ..infer.tree_mcmc import MCMCTrace
 from ..utils.newick import Tree
 from . import soibean as sb
 
