@@ -422,6 +422,31 @@ class BatchedMapper(Mapper):
             second = ranked[1][0] if len(ranked) > 1 else None
             ri2, cand, wcodes, lo = all_cands[i]
             codes = read_codes[ri]
+            L = len(codes)
+            # perfect full-length alignments (score == L + both
+            # bonuses) skip the graph DP: locate by exact search and
+            # project the path interval directly
+            if _score == L + 2 * FULL_LENGTH_BONUS:
+                q = dna.revcomp_codes(codes) if cand.strand else codes
+                off = wcodes.tobytes().find(q.tobytes())
+                if off >= 0:
+                    path = _project_path_interval(
+                        graph, cand.path, lo + off, L,
+                        dna.decode(q),
+                    )
+                    if cand.strand:
+                        path = _flip_path(graph, path, None, r.seq)
+                    a.path = path
+                    a.score = int(_score)
+                    a.identity = 1.0
+                    second = ranked[1][0] if len(ranked) > 1 else None
+                    a.mapping_quality = (
+                        60 if second is None else int(
+                            max(0, min(60, round(6.23 * (_score - float(second)))))
+                        )
+                    )
+                    out.append(a)
+                    continue
             # windows bucket-cached: nearby reads share one window
             lo_b = (lo // 128) * 128
             hi_b = -(-(lo + len(wcodes)) // 128) * 128
@@ -550,4 +575,37 @@ def seed_and_cluster_batch(
         )
     for ri in range(n_reads):
         out[ri].sort(key=lambda c: -c.n_seeds)
+    return out
+
+
+def _project_path_interval(graph, path: int, start: int, length: int,
+                           read: str) -> gam.Path:
+    """All-match projection of a path interval [start, start+length)
+    onto per-node mappings (perfect-alignment fast path)."""
+    offs = graph.step_offsets(path)
+    steps_node = graph.path_steps_node[path]
+    steps_rev = graph.path_steps_rev[path]
+    out = gam.Path()
+    pos = start
+    end = start + length
+    step = int(np.searchsorted(offs, pos, side="right") - 1)
+    while pos < end:
+        nidx = int(steps_node[step])
+        nlen = int(graph.node_off[nidx + 1] - graph.node_off[nidx])
+        node_start = int(offs[step])
+        off_in_node = pos - node_start
+        take = min(end - pos, nlen - off_in_node)
+        out.mappings.append(
+            gam.Mapping(
+                position=gam.Position(
+                    node_id=nidx + graph.min_id,
+                    offset=off_in_node,
+                    is_reverse=bool(steps_rev[step]),
+                ),
+                edits=[gam.Edit(take, take, "")],
+                rank=len(out.mappings) + 1,
+            )
+        )
+        pos += take
+        step += 1
     return out
