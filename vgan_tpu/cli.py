@@ -95,12 +95,19 @@ def cmd_haplocart(args: List[str]) -> int:
             cfg.webapp = True; i += 1  # webapp HTML output
         elif a == "-t":
             i += 2  # thread count accepted for compatibility
+        elif a == "--profile":
+            from .utils import profiling
+
+            profiling.enable(); i += 1
         else:
             print(f"[HaploCart] ignoring unknown flag {a}", file=sys.stderr)
             i += 1
     if not cfg.db_dir:
         raise SystemExit("[HaploCart] --db <dir> is required")
     run(cfg)
+    from .utils.profiling import PROFILER
+
+    PROFILER.report()
     return 0
 
 

@@ -17,6 +17,7 @@ import numpy as np
 from ..graph.packed import PackedGraph
 from ..io import fastx, gam
 from ..mapper.giraffe import Mapper
+from ..utils.profiling import PROFILER
 from . import haplocart as hc
 
 
@@ -139,10 +140,12 @@ def run_sample(
 ) -> Tuple[str, int, np.ndarray]:
     is_consensus = bool(fasta_seq) or bool(cfg.fasta)
     if cfg.gamfile:
-        alignments = gam.read_gam(cfg.gamfile)
+        with PROFILER.stage("read_gam"):
+            alignments = gam.read_gam(cfg.gamfile)
     else:
         reads = get_reads(cfg, fasta_seq)
-        alignments = mapper.map_reads(reads)
+        with PROFILER.stage("map", items=len(reads)):
+            alignments = mapper.map_reads(reads)
         if cfg.fq2 or cfg.interleaved:
             # mates map independently; flag them so duplicate removal
             # uses the paired (start+end coordinate) rule
@@ -155,13 +158,14 @@ def run_sample(
         raise RuntimeError("[HaploCart] Error, no reads mapped")
     alignments = hc.remove_duplicates(alignments)
     n_reads = len(alignments)
-    final_vec = hc.score_alignments(
-        db,
-        alignments,
-        use_background_error_prob=is_consensus,
-        background_error_prob=cfg.background_error_prob,
-        is_consensus_fasta=is_consensus,
-    )
+    with PROFILER.stage("score", items=n_reads):
+        final_vec = hc.score_alignments(
+            db,
+            alignments,
+            use_background_error_prob=is_consensus,
+            background_error_prob=cfg.background_error_prob,
+            is_consensus_fasta=is_consensus,
+        )
     pred = hc.predict(db, final_vec)
     return pred, n_reads, final_vec
 
