@@ -24,6 +24,19 @@ __version__ = "0.1.0"
 # (`src/HaploCart.cpp:297`); we keep float64 available on every backend
 # for the precision-critical reductions (f32/bf16 stay the default for
 # throughput kernels, which request their dtypes explicitly).
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# The axon remote compiler takes minutes for the MCMC scan programs;
+# a persistent compilation cache makes that a one-time cost per shape.
+_cache_dir = _os.environ.get(
+    "VGAN_TPU_JAX_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "vgan_tpu", "jax"),
+)
+if _cache_dir:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
