@@ -1,0 +1,346 @@
+"""keelime assembler unit tests: oracle comparisons against literal
+transcriptions of the reference C++ loops (src/assembly.cpp) plus
+behavioral tests of the merge rules the reference only exercises
+end-to-end."""
+import numpy as np
+import pytest
+
+from vgan_tpu.pipelines import keelime as kl
+
+
+# ------------------------------------------------------------- oracles
+def oracle_calc_match_score(a, b):
+    """Literal transcription of calculate_match_score
+    (src/assembly.cpp:455-486)."""
+    if a == "-" and b == "-":
+        return 1.0
+    if a == "-" or b == "-":
+        return 0.0
+    if a == "N" or b == "N":
+        return 0.0
+    if a in "ACGT" and a == b:
+        return 3.0
+    if (a == "R" and b in "AG") or (b == "R" and a in "AG"):
+        return 2.0
+    if (a == "Y" and b in "CT") or (b == "Y" and a in "CT"):
+        return 2.0
+    if (a == "R" and b == "R") or (a == "Y" and b == "Y"):
+        return 1.0
+    if (a, b) in (("A", "G"), ("G", "A"), ("C", "T"), ("T", "C")):
+        return -1.0
+    return -3.0
+
+
+def oracle_bases_match(a, b):
+    """Literal transcription of basesMatch (src/assembly.cpp:323-386);
+    returns (match, penalty)."""
+    if a == b:
+        return True, 0.0
+    if a == "-" or b == "-":
+        return False, 0.0
+    if a == "N" or b == "N":
+        return False, 0.0
+    if a in "Rr" and b in "AaGgRr":
+        return True, 0.0
+    if a in "Yy" and b in "CcTtYy":
+        return True, 0.0
+    if a in "AaGg" and b in "Rr":
+        return True, 0.0
+    if a in "CcTt" and b in "Yy":
+        return True, 0.0
+    if (a, b) in (
+        ("C", "T"), ("c", "t"), ("G", "A"), ("g", "a"),
+        ("T", "C"), ("t", "c"), ("A", "G"), ("a", "g"),
+    ):
+        return False, 0.5
+    return False, 3.0
+
+
+def oracle_overlap(a, b, min_olen, min_score):
+    """Literal transcription of get_overlap_length_and_score
+    (src/assembly.cpp:523-610)."""
+    best_len, best_score = 0, 0.0
+    la, lb = len(a), len(b)
+    for start in range(0, la - min_olen + 1):
+        olen = min(lb, la - start)
+        score = 0.0
+        for i in range(olen):
+            m, pen = oracle_bases_match(a[start + i], b[i])
+            if not m:
+                score -= pen
+        for i in range(olen):
+            score += oracle_calc_match_score(a[start + i], b[i])
+        if score >= min_score and olen >= min_olen:
+            if olen > best_len or (olen == best_len and score > best_score):
+                best_len, best_score = olen, score
+    return best_len, best_score
+
+
+def oracle_is_ry_match(a, b):
+    if a == b:
+        return True
+    if a in "AGag" and b in "AGag":
+        return True
+    if a in "CTct" and b in "CTct":
+        return True
+    if a == "-" or b == "-":
+        return True
+    return False
+
+
+def oracle_is_subset(a_seq, a_ids, b_seq, b_ids, allowed):
+    """Literal transcription of isSubset (src/assembly.cpp:1063-1097)."""
+    if len(a_seq) > len(b_seq):
+        return False
+    if all(i in b_ids for i in a_ids):
+        return True
+    thresh = int(kl.SIMILARITY * len(a_seq))
+    for i in range(len(b_seq) - len(a_seq) + 1):
+        mc, mm = 0, 0
+        for j in range(len(a_seq)):
+            if oracle_is_ry_match(a_seq[j], b_seq[i + j]):
+                mc += 1
+            else:
+                mm += 1
+                if mm > allowed:
+                    break
+        if mc >= thresh:
+            return True
+    return False
+
+
+# --------------------------------------------------------------- tests
+def test_overlap_score_vs_oracle():
+    rng = np.random.default_rng(7)
+    alpha = np.array(list("ACGTRYN-"))
+    for _ in range(40):
+        la = int(rng.integers(8, 40))
+        lb = int(rng.integers(5, 40))
+        a = "".join(rng.choice(alpha, la))
+        b = "".join(rng.choice(alpha, lb))
+        got = kl.overlap_score(a, b, 3, 5.0)
+        want = oracle_overlap(a, b, 3, 5.0)
+        assert got[0] == want[0], (a, b)
+        assert got[1] == pytest.approx(want[1]), (a, b)
+
+
+def test_overlap_score_suffix_prefix():
+    # perfect 10bp suffix/prefix overlap scores 30 (3 per base)
+    a = "AAAATTTTCCGGCCGGAA"
+    b = "CCGGCCGGAA" + "TTTT"
+    olen, score = kl.overlap_score(a, b, 5, 15.0)
+    # true suffix/prefix overlap at start=8: olen=min(14,10)=10, all
+    # exact matches -> 30; this is the longest placement above score 15
+    assert (olen, score) == (10, 30.0)
+    assert oracle_overlap(a, b, 5, 15.0) == (olen, score)
+
+
+def test_is_subset_vs_oracle():
+    rng = np.random.default_rng(3)
+    alpha = np.array(list("ACGT"))
+    for _ in range(30):
+        lb = int(rng.integers(20, 60))
+        b = "".join(rng.choice(alpha, lb))
+        start = int(rng.integers(0, lb - 10))
+        a = b[start : start + 10]
+        if rng.random() < 0.5:  # inject a mismatch
+            pos = int(rng.integers(0, len(a)))
+            a = a[:pos] + ("A" if a[pos] != "A" else "C") + a[pos + 1 :]
+        for allowed in (0, 2):
+            got = kl.is_subset(a, [999], b, [1, 2], allowed)
+            want = oracle_is_subset(a, [999], b, [1, 2], allowed)
+            assert got == want, (a, b, allowed)
+    # node-id containment short-circuit
+    assert kl.is_subset("AAAA", [1, 2], "TTTTTTTT", [1, 2, 3], 0)
+
+
+def test_to_rymer():
+    # first and last 5 bases converted; middle untouched
+    assert kl.to_rymer("ACGTACGTACGT") == "RYRYRCGYRYRY"
+    # reads under 10bp pass through unchanged
+    assert kl.to_rymer("ACGTACGT") == "ACGTACGT"
+
+
+def test_find_match_damage_tolerant():
+    # C<->T and G<->A count as matches (basesMatchWithDamage)
+    assert kl.find_match("TTGG", "CCGG", True) == 4  # T~C suffix match
+    assert kl.find_match("ACGT", "ACAT", False) == 4  # G~A damage match
+    assert kl.find_match("ACGT", "ACCT", False) == 2  # G vs C stops
+    assert kl.find_match("ACGT", "TGCA", False) == 0
+
+
+def _mk_contig(seq, node_ids, counts=None, cut=(False, 0)):
+    L = len(seq)
+    scoring = np.log(np.full((L, 5), 0.2))
+    if counts is None:
+        counts = np.zeros((L, 5), np.int64)
+        for i, c in enumerate(seq):
+            if c in kl._B5:
+                counts[i, kl._B5[c]] = 1
+    return kl.Contig(seq, kl.to_rymer(seq), scoring, counts,
+                     list(node_ids), cut)
+
+
+def test_merge_contigs_transition_majority_normal():
+    # overlap base disagrees by a transition; counts 1 vs 3 -> 0.75
+    # majority >= 0.65 so normal mode takes the majority base
+    c1 = _mk_contig("AAAACCCCCCC", [1, 2])
+    c2 = _mk_contig("CCCCCCCTTTT", [2, 3])
+    # make c2's first overlap base a transition conflict: c1 tail base
+    # at overlap pos0 is C, set c2 pos0 to T with count 3
+    c2.seq = "TCCCCCCTTTT"
+    c2.counts[0] = 0
+    c2.counts[0, kl._B5["T"]] = 3
+    merged = kl.merge_contigs(c1, c2, 7, True, "normal")
+    # position 4 (= len(c1)-7) resolved to T (3 of 4 >= 0.65)
+    assert merged.seq[4] == "T"
+    assert len(merged.seq) == len(c1.seq) + len(c2.seq) - 7
+
+
+def test_merge_contigs_transition_masked_when_ambiguous():
+    c1 = _mk_contig("AAAACCCCCCC", [1, 2])
+    c2 = _mk_contig("TCCCCCCTTTT", [2, 3])
+    # counts 1 vs 1 -> 0.5 < 0.65 -> masked N in normal mode
+    merged = kl.merge_contigs(c1, c2, 7, True, "normal")
+    assert merged.seq[4] == "N"
+    # strict mode also masks (0.5 < 0.9)
+    merged_s = kl.merge_contigs(c1, c2, 7, True, "strict")
+    assert merged_s.seq[4] == "N"
+    # reckless keeps c1's base on ties (only replaces on strict <)
+    merged_r = kl.merge_contigs(c1, c2, 7, True, "reckless")
+    assert merged_r.seq[4] == "C"
+
+
+def test_merge_contigs_strict_requires_90():
+    c1 = _mk_contig("AAAACCCCCCC", [1, 2])
+    c2 = _mk_contig("TCCCCCCTTTT", [2, 3])
+    c2.counts[0] = 0
+    c2.counts[0, kl._B5["T"]] = 3  # 3 vs 1 = 0.75 < 0.9
+    merged = kl.merge_contigs(c1, c2, 7, True, "strict")
+    assert merged.seq[4] == "N"
+    c2.counts[0, kl._B5["T"]] = 20  # 20/21 > 0.9
+    merged = kl.merge_contigs(c1, c2, 7, True, "strict")
+    assert merged.seq[4] == "T"
+
+
+def test_merge_cut_rules():
+    # adjustFinalCut (src/assembly.cpp:1009-1034)
+    assert kl._merge_cut((False, 0), (True, 2)) == (True, 2)
+    assert kl._merge_cut((False, 0), (True, 1)) == (False, 0)
+    assert kl._merge_cut((True, 2), (False, 0)) == (False, 0)
+    assert kl._merge_cut((True, 3), (False, 0)) == (True, 1)
+    assert kl._merge_cut((True, 1), (True, 2)) == (True, 3)
+    assert kl._merge_cut((True, 2), (True, 1)) == (False, 0)
+    assert kl._merge_cut((True, 1), (True, 1)) == (True, 1)
+
+
+def test_majority_correct():
+    counts = np.zeros((4, 5), np.int64)
+    counts[0, kl._B5["A"]] = 2  # agrees
+    counts[1, kl._B5["G"]] = 3  # disagrees with C -> corrected
+    counts[2] = 0  # all-zero: keep original char
+    counts[3, kl._B5["T"]] = 1
+    counts[3, kl._B5["C"]] = 1  # tie includes C -> keep
+    assert kl._majority_correct("ACNC", counts) == "AGNC"
+
+
+def test_ry_gate():
+    # middle of the overlap must match exactly; ends tolerate RY
+    tail = "ACGTACGTACGTACGT"
+    head_ok = "GCGTACGTACGTACGC"  # A->G, T->C at RY-tolerant ends...
+    # positions 0-4 and 11-15 are RY-checked, 5-10 exact
+    assert kl._ry_gate(tail, tail, 16)
+    assert kl._ry_gate(tail, head_ok, 16)
+    head_bad = tail[:8] + "C" + tail[9:]  # mid mismatch
+    assert not kl._ry_gate(tail, head_bad, 16)
+
+
+def test_assemble_two_overlapping_reads(synthetic_world):
+    graph, frags = synthetic_world
+    contigs = kl.assemble(graph, frags, len_min=5, score_min=10)
+    assert len(contigs) >= 1
+    total = sum(len(c.seq) for c in contigs)
+    assert total >= 40
+
+
+@pytest.fixture
+def synthetic_world():
+    """Tiny linear world: one node, one path, reads tiling it."""
+    from vgan_tpu.graph.packed import PackedGraph
+    from vgan_tpu.utils import dna
+    from vgan_tpu.io.gam import Alignment, Path, Mapping, Position, Edit
+
+    ref = (
+        "ACGTTGCAATCGGATCCAATTGGCCAATCGTACGTAGCATCGATCGATTG"
+        "GCCATGCATCGTAGCTAGCTAGCATCGATCGGATCGATCGTAGCTAGGAT"
+    )
+    pool = dna.encode(ref)
+    graph = PackedGraph(
+        min_id=1,
+        node_seq_pool=pool,
+        node_off=np.array([0, len(ref)], dtype=np.int64),
+        edge_from=np.zeros(0, np.int32),
+        edge_from_rev=np.zeros(0, bool),
+        edge_to=np.zeros(0, np.int32),
+        edge_to_rev=np.zeros(0, bool),
+        path_names=["ref"],
+        path_steps_node=[np.array([0], np.int32)],
+        path_steps_rev=[np.array([False])],
+        path_support=np.ones((1, 1), bool),
+    )
+    frags = []
+    for k, start in enumerate(range(0, 60, 15)):
+        seq = ref[start : start + 40]
+        aln = Alignment(
+            name=f"r{k}",
+            sequence=seq,
+            quality=bytes([30] * len(seq)),
+            path=Path(
+                mappings=[
+                    Mapping(
+                        position=Position(node_id=1, offset=start,
+                                          is_reverse=False),
+                        edits=[Edit(from_length=len(seq),
+                                    to_length=len(seq), sequence="")],
+                    )
+                ]
+            ),
+            mapping_quality=60,
+            identity=1.0,
+        )
+        frags.append(aln)
+    return graph, kl.analyse_gam(graph, frags)
+
+
+def test_consensus_coverage_mask(synthetic_world):
+    graph, frags = synthetic_world
+    contigs = kl.assemble(graph, frags, len_min=5, score_min=10)
+    fasta, scoring, counts, empty = kl.consensus(
+        graph, contigs, min_coverage=1
+    )
+    # every called (non-N) base must agree with the reference world
+    ref = graph.node_seq(1)
+    called = sum(1 for c in fasta if c != "N")
+    assert called >= 40
+    # consensus walk is anchored at the path start; called bases match
+    ok = sum(1 for a, b in zip(fasta, ref) if a == b or a == "N")
+    assert ok >= 0.9 * min(len(fasta), len(ref))
+    # high min_coverage masks everything (each base covered <= 3x)
+    fasta_hi, *_ = kl.consensus(graph, contigs, min_coverage=50)
+    assert set(fasta_hi) <= {"N"}
+
+
+def test_analyse_gam_prob_rows(synthetic_world):
+    """Rows sum to 1 - q/4: the reference assigns q/4 pre-damage mass
+    to the gap slot and drops it in the 4x4 damage marginalization
+    (src/assembly.cpp:3928-3957) — quirk preserved."""
+    from vgan_tpu.models import phred
+
+    graph, frags = synthetic_world
+    assert len(frags) == 4
+    q = phred.qscore_vec()[30]
+    for f in frags:
+        s = f.probs.sum(axis=1)
+        np.testing.assert_allclose(s, 1.0 - q / 4, atol=1e-12)
+        assert f.counts.sum(axis=1).max() == 1
+        assert not f.cut[0]

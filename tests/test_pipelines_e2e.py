@@ -94,18 +94,18 @@ def test_euka_e2e_outputs(toy_graph, toy_reads, tmp_path):
 
 
 def test_keelime_e2e(toy_graph, toy_reads, tmp_path):
-    reads = keelime.analyse_gam(toy_graph, toy_reads)
-    assert len(reads) >= 8
-    contigs = keelime.assemble(reads)
+    frags = keelime.analyse_gam(toy_graph, toy_reads)
+    assert len(frags) >= 8
+    contigs = keelime.assemble(toy_graph, frags)
     assert len(contigs) >= 1
-    cons = keelime.consensus(toy_graph, contigs)
+    cons, scoring, counts, empty = keelime.consensus(toy_graph, contigs)
     assert len(cons) > 50
     out = str(tmp_path / "kl")
-    keelime.write_outputs(out, contigs, cons)
+    keelime.write_outputs(out, contigs, cons, scoring, counts, empty)
     with gzip.open(out + "Consensus.fa.gz", "rt") as f:
-        assert f.readline().startswith(">consensus")
+        assert f.readline().startswith(">Consensus")
         seq = f.readline().strip()
-        assert set(seq) <= set("ACGTN")
+        assert set(seq) <= set("ACGTN-")
 
 
 def test_duprm_cli(ref, tmp_path, toy_reads):

@@ -2,38 +2,78 @@
 
 Functional equivalent of the `assembly` class (`src/assembly.cpp`,
 4,456 LoC): a damage-aware overlap-layout-consensus assembler over the
-graph coordinate system.
+graph coordinate system. Full-parity rewrite of the simplified first
+version: the overlap DAG (`GraphAss`, `src/assembly.h:78-126`), the
+BFS contig builder (`mergeAllPaths`, `src/assembly.cpp:1102-1627`),
+pairwise contig merging with mode-dependent majority rules
+(`mergeContigs` `:1628-2363`, `tryMergeContigs` `:2372-3065`,
+`mergeOverlappingContigs` `:3069-3345`), the final adjacent-merge pass
+(`checkAndMergeContigs` `:3392-3552`), and the node-walk consensus
+(`:4216-4450`) are all implemented with the reference's semantics.
 
-Stages mirrored from the reference:
-* GAM analysis (`src/assembly.cpp:3837-3995`): keep mapped reads
-  >25bp, reverse-complement minus-strand reads, compute per-base
-  5-state (ACGT-) post-damage probabilities, record per-read node ids.
-* read ordering by first node along the graph
-  (`compareByFirstNodeID`, `src/assembly.cpp:236-301`) and
-  purine/pyrimidine (RY) conversion for damage-tolerant matching
-  (`convertToRYmerSpace` / `isRYMatch`, `src/assembly.cpp:390-453`;
-  `basesMatchWithDamage` `:2364-2371` allows C<->T and G<->A).
-* suffix-prefix overlap scoring with damage-aware matches
-  (`get_overlap_length_and_score`, `src/assembly.cpp:523-615`) with an
-  adaptive minimum overlap (`calculateMinOverlapLength`, `:490-514`).
-* greedy merge along best overlaps maintaining per-position probability
-  and count matrices (`mergeAllPaths`, `src/assembly.cpp:1102-1627`),
-  subset-contig removal (`isSubset` `:1063-1101`), iterate to fixpoint.
-* consensus along the reference path's nodes with N-bridging and a
-  coverage mask (`src/assembly.cpp:4216-4450`); outputs
-  <out>Contig.fa.gz, <out>Consensus.fa.gz, ProbabilityMatrix.tsv,
-  CountMatrix.tsv.
+Stages (reference `assembly::run`, `src/assembly.cpp:3560-4456`):
+* GAM analysis (`:3837-3995`): keep mapped reads >25bp, operate on the
+  *reconstructed* read string (gaps `-`, softclips `S`), reverse-
+  complement minus-strand reads, per-base 5-state (ACGT-) post-damage
+  probabilities (pre-damage off-base mass is q/4 over five states,
+  INDELERRORPROB=1e-5), one-hot count rows, `cutbool` untrusted-end
+  marker from >=3 bad graph chars.
+* node depths by BFS from the clade start node
+  (`reindex_odgi_graph`, `:123-161`); read ordering by depth
+  (`compareByFirstNodeID`, `:236-296`); RYmer conversion of the first
+  and last 5 bases only (`convertToRYmerSpace`, `:411-453`).
+* density map of candidate pairs within a +10 depth window
+  (`initial_overlap`, `:617-665`); overlap DAG with edges gated on
+  end-node containment (`find_overlaps`, `:669-701`).
+* BFS greedy contig build with subset absorption, the RY-gate (first/
+  last 5 overlap bases RY-match, middle exact), and count-majority
+  correction (`mergeAllPaths`).
+* subset-contig removal (`isSubset`/`removeSubsetContigs`,
+  SIMILARITY=0.98), pairwise merge to fixpoint, ordering along the
+  reference path, final adjacent merge, consensus with N-bridging
+  (`findMatch`), coverage mask and count-majority correction.
 
-The overlap scoring is vectorized numpy (device batching is the
-natural next step: all-pairs banded suffix/prefix scoring is a dense
-kernel); assembly bookkeeping stays on host as in SURVEY.md §7.8.
+Documented quirks preserved (load-bearing for output parity):
+* `get_overlap_length_and_score` never rejects on mismatch count (the
+  break is commented out in the reference, `:555-559`); the score is
+  sum(calculate_match_score) − sum(basesMatch penalties).
+* `mergeAllPaths` calls the overlap scorer with min_overlap_length=1
+  and uses `lenMin` (the -mL flag) as the minimum *score* (`:4043`,
+  `:1217`); `find_overlaps` uses (lenMin, lenMin) for the scorer but
+  gates edges on scoreMin (`:677`, `:688`).
+* `checkAndMergeContigs` swaps the RY/plain sequence choice relative
+  to everywhere else: deamination specified -> plain sequences,
+  unspecified -> RYmer (`:3432-3437`).
+* the >1-common-node-no-overlap branch of `tryMergeContigs`
+  (`:2831-3047`) can never merge (its guard re-tests length 0 >=
+  common>1) — implemented as a no-merge return.
+* `cutbool` is decided from the pre-orientation graph string's first
+  char while the bad-char counter runs over the oriented string
+  (`:3898`, `:3983`).
+* node-id lists concatenate *without* dedup in the N-bridge merge
+  (`:3208-3209`) but dedup in all other merges.
+
+Documented divergences (reference behavior is undefined or
+nondeterministic there):
+* the read-first branch of `mergeAllPaths` (`:1418-1419`) indexes the
+  read's probability/count arrays out of bounds (C++ UB) whenever the
+  contig tail is longer than the read; we implement the evident
+  intent: merged = read + contig[olen:], prefix rows from the read,
+  suffix rows from the contig.
+* count-majority ties resolve in fixed "ACGT-" order (the reference
+  iterates an unordered_map — unspecified order); all-zero count rows
+  keep the original character instead of picking an arbitrary base.
+* the merge-candidate list is processed in ascending contig order
+  (reference: unordered_map iteration order).
 """
 from __future__ import annotations
 
 import gzip
 import sys
+from collections import deque
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from functools import cmp_to_key
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -41,223 +81,1155 @@ from ..graph.packed import PackedGraph
 from ..io.gam import Alignment
 from ..models.damage import DamageModel
 from ..models import phred
-from ..utils import dna
 
-INDEL_ERROR_PROB = 0.001
-MIN_READ_LEN = 25
+INDEL_ERROR_PROB = 1.0e-5  # src/assembly.cpp:27
+SIMILARITY = 0.98  # src/assembly.cpp:28
+MIN_READ_LEN = 25  # reads kept if len > 25, src/assembly.cpp:3846
+BASES5 = "ACGT-"
+_B5 = {c: i for i, c in enumerate(BASES5)}
 
-
-@dataclass
-class AssemblyRead:
-    name: str
-    codes: np.ndarray  # oriented (reference-forward) base codes
-    probs: np.ndarray  # [L, 5] post-damage state probabilities (ACGT-)
-    first_node: int
-    node_order: int  # order of first node along the reference path
-    cut: bool  # untrusted ends (>=3 gap/N/S chars)
+# ----------------------------------------------------- char-pair tables
+# calculate_match_score (src/assembly.cpp:455-486) minus the basesMatch
+# mismatch penalty (src/assembly.cpp:323-386) in one 256x256 gather.
+_ALPHABET = "ACGTRYNS-acgtry"
 
 
-def _ry(codes: np.ndarray) -> np.ndarray:
-    """Purine/pyrimidine space: A/G -> 0, C/T -> 1, else 2."""
-    out = np.full(len(codes), 2, dtype=np.uint8)
-    out[(codes == dna.A) | (codes == dna.G)] = 0
-    out[(codes == dna.C) | (codes == dna.T)] = 1
-    return out
+def _calc_match_score(a: str, b: str) -> float:
+    if a == "-" and b == "-":
+        return 1.0
+    if a == "-" or b == "-":
+        return 0.0
+    if a == "N" or b == "N":
+        return 0.0
+    if a in "ACGT" and a == b:
+        return 3.0
+    if (a == "R" and b in "AG") or (b == "R" and a in "AG"):
+        return 2.0
+    if (a == "Y" and b in "CT") or (b == "Y" and a in "CT"):
+        return 2.0
+    if (a == "R" and b == "R") or (a == "Y" and b == "Y"):
+        return 1.0
+    if (a, b) in (("A", "G"), ("G", "A"), ("C", "T"), ("T", "C")):
+        return -1.0
+    return -3.0
 
 
-def damage_match(a: int, b: int) -> bool:
-    """C<->T and G<->A count as matches (`src/assembly.cpp:2364-2371`)."""
+def _bases_match(a: str, b: str) -> Tuple[bool, float]:
+    """(matches, mismatch_penalty) per src/assembly.cpp:323-386."""
     if a == b:
-        return True
-    return (a, b) in ((dna.C, dna.T), (dna.T, dna.C), (dna.G, dna.A), (dna.A, dna.G))
+        return True, 0.0
+    if a == "-" or b == "-":
+        return False, 0.0
+    if a == "N" or b == "N":
+        return False, 0.0
+    au, bu = a.upper(), b.upper()
+    if a in "Rr" and bu in ("A", "G", "R"):
+        return True, 0.0
+    if a in "Yy" and bu in ("C", "T", "Y"):
+        return True, 0.0
+    if a in "AaGg" and b in "Rr":
+        return True, 0.0
+    if a in "CcTt" and b in "Yy":
+        return True, 0.0
+    if (au, bu) in (("C", "T"), ("G", "A"), ("T", "C"), ("A", "G")) and (
+        a.isupper() == b.isupper()
+    ):
+        return False, 0.5
+    return False, 3.0
+
+
+def _build_tables():
+    comb = np.zeros((256, 256), dtype=np.float64)
+    rym = np.zeros((256, 256), dtype=bool)
+    dmg = np.zeros((256, 256), dtype=bool)
+    rs, ys = "AGag", "CTct"
+    for a in _ALPHABET:
+        for b in _ALPHABET:
+            m, pen = _bases_match(a, b)
+            comb[ord(a), ord(b)] = _calc_match_score(a, b) - (
+                0.0 if m else pen
+            )
+            # isRYMatch (src/assembly.cpp:390-408): same char, same
+            # purine/pyrimidine class, or either is '-'
+            rym[ord(a), ord(b)] = (
+                a == b
+                or (a in rs and b in rs)
+                or (a in ys and b in ys)
+                or a == "-"
+                or b == "-"
+            )
+            # basesMatchWithDamage (src/assembly.cpp:2364-2370)
+            dmg[ord(a), ord(b)] = a == b or (a + b) in (
+                "CT", "TC", "GA", "AG"
+            )
+    return comb, rym, dmg
+
+
+_COMBINED, _RYMATCH, _DMGMATCH = _build_tables()
+
+
+def _enc(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("latin-1"), dtype=np.uint8)
+
+
+# ----------------------------------------------------------- GAM stage
+@dataclass
+class Frag:
+    """One usable read (reference `frags`, src/assembly.h:26-47)."""
+
+    name: str
+    seq: str  # oriented reconstructed read string (may contain -, S, N)
+    graph_seq: str
+    node_ids: List[int]
+    offsets: List[int]
+    coverage: List[int]
+    probs: np.ndarray  # [L,5] post-damage state probabilities (ACGT-)
+    counts: np.ndarray  # [L,5] one-hot counts
+    cut: Tuple[bool, int]
+    ry: str = ""
+
+
+_RC = {"A": "T", "T": "A", "C": "G", "G": "C", "S": "S", "-": "-", "N": "N"}
+
+
+def _revcomp_str(s: str) -> str:
+    return "".join(_RC.get(c, "N") for c in reversed(s))
 
 
 def analyse_gam(
     graph: PackedGraph,
     alignments: Sequence[Alignment],
     damage: Optional[DamageModel] = None,
-    ref_path: int = 0,
-) -> List[AssemblyRead]:
+) -> List[Frag]:
+    """GAM loop (src/assembly.cpp:3837-3995)."""
     from ..graph.reconstruct import reconstruct_graph_sequence
 
     dm = damage or DamageModel.none()
     qtab = phred.qscore_vec()
-    # node order along the reference path
-    order = {}
-    for i, nidx in enumerate(graph.path_steps_node[ref_path]):
-        order.setdefault(int(nidx), i)
-
-    reads: List[AssemblyRead] = []
+    frags: List[Frag] = []
     for a in alignments:
         if a.identity == 0 or not a.path.mappings:
             continue
         if len(a.sequence) <= MIN_READ_LEN:
             continue
-        graph_seq, read_seq, _ = reconstruct_graph_sequence(
+        graph_seq0, read_seq0, _ = reconstruct_graph_sequence(
             graph, a.path, a.sequence
         )
-        n_bad = sum(1 for ch in graph_seq if ch in "-NS")
-        cut = n_bad >= 3
+        node_ids, offsets, coverage = [], [], []
+        for m in a.path.mappings:
+            node_ids.append(int(m.position.node_id))
+            offsets.append(int(m.position.offset))
+            coverage.append(sum(e.from_length for e in m.edits))
         isrev = a.path.mappings[0].position.is_reverse
-        seq = a.sequence
-        qual = np.frombuffer(a.quality, dtype=np.uint8)
-        if len(qual) < len(seq):
-            qual = np.concatenate(
-                [qual, np.zeros(len(seq) - len(qual), dtype=np.uint8)]
-            )
-        codes = dna.encode(seq)
         if isrev:
-            codes = dna.revcomp_codes(codes)
-            qual = qual[::-1]
-        L = len(codes)
+            node_ids.reverse()
+            offsets.reverse()
+            coverage.reverse()
+            seq = _revcomp_str(read_seq0)
+            gseq = _revcomp_str(graph_seq0)
+        else:
+            seq, gseq = read_seq0, graph_seq0
+        L = len(seq)
+        qual = np.frombuffer(a.quality, dtype=np.uint8)
+        if len(qual) < L:  # reconstructed string can be longer (gaps)
+            qual = np.concatenate([qual, np.zeros(L - len(qual), np.uint8)])
+        baseq = qual[:L][::-1].copy() if isrev else qual[:L].copy()
+
         probs = np.zeros((L, 5), dtype=np.float64)
-        for i in range(L):
-            q = qtab[min(int(qual[i]), 99)]
-            b = int(codes[i])
-            pre = np.full(4, q / 3.0)
-            if b < 4:
-                pre[b] = 1.0 - q
+        counts = np.zeros((L, 5), dtype=np.int64)
+        n_bad = 0
+        Lc = min(max(L, 1), 1000)
+        for s in range(L):
+            c = seq[s]
+            if gseq[s] in "-NS":
+                n_bad += 1
+            if c in "NS":
+                probs[s] = 0.20
+            elif c == "-":
+                probs[s, :4] = INDEL_ERROR_PROB / 4
+                probs[s, 4] = 1.0 - INDEL_ERROR_PROB
+                counts[s, 4] = 1
             else:
-                pre[:] = 0.25
-            D = dm.dinuc(min(max(L, 1), 1000), i)
-            post = pre @ D
-            probs[i, :4] = post * (1.0 - INDEL_ERROR_PROB)
-            probs[i, 4] = INDEL_ERROR_PROB
-        first = a.path.mappings[0].position.node_id - graph.min_id
-        reads.append(
-            AssemblyRead(
-                name=a.name,
-                codes=codes,
-                probs=probs,
-                first_node=first,
-                node_order=order.get(int(first), 1 << 30),
-                cut=cut,
-            )
+                q = qtab[min(int(baseq[s]), len(qtab) - 1)]
+                pre = np.full(5, q / 4.0)
+                bi = _B5[c]
+                pre[bi] = 1.0 - q
+                counts[s, bi] = 1
+                D = dm.dinuc(Lc, min(s, Lc - 1))
+                probs[s, :4] = pre[:4] @ D
+                probs[s, 4] = pre.sum() * INDEL_ERROR_PROB
+                probs[s, bi] -= INDEL_ERROR_PROB
+        # cutbool decided from the PRE-orientation graph string's first
+        # char (src/assembly.cpp:3983 uses graph_seq, not graphSeq)
+        cut = (False, 0)
+        if n_bad >= 3:
+            cut = (True, 1 if graph_seq0[0] == "-" else 2)
+        frags.append(
+            Frag(a.name, seq, gseq, node_ids, offsets, coverage, probs,
+                 counts, cut)
         )
-    reads.sort(key=lambda r: r.node_order)
-    return reads
+    return frags
 
 
-def min_overlap_length(len_a: int, len_b: int, base: int = 10) -> int:
-    """Adaptive minimum overlap (`src/assembly.cpp:490-514`)."""
-    return max(base, int(0.2 * min(len_a, len_b)))
-
-
-def overlap_score(
-    a: AssemblyRead, b: AssemblyRead, min_len: int = 10, min_score: int = 15
-) -> Tuple[int, float]:
-    """Best suffix(a)-prefix(b) overlap in damage-tolerant space.
-    Returns (overlap_length, score); (0, 0) if below thresholds."""
-    best_len, best_score = 0, 0.0
-    la, lb = len(a.codes), len(b.codes)
-    ry_a, ry_b = _ry(a.codes), _ry(b.codes)
-    lo = min_overlap_length(la, lb, min_len)
-    for olen in range(min(la, lb), lo - 1, -1):
-        sa = a.codes[la - olen :]
-        sb = b.codes[:olen]
-        rya = ry_a[la - olen :]
-        ryb = ry_b[:olen]
-        ry_match = rya == ryb
-        exact = sa == sb
-        dmg = (
-            ((sa == dna.C) & (sb == dna.T)) | ((sa == dna.T) & (sb == dna.C))
-            | ((sa == dna.G) & (sb == dna.A)) | ((sa == dna.A) & (sb == dna.G))
-        )
-        ok = exact | dmg
-        mism = (~ok).sum()
-        if mism > max(1, olen // 12):
-            continue
-        score = float(exact.sum() * 1.0 + (dmg & ~exact).sum() * 0.5 - mism * 1.5)
-        if score >= min_score and score > best_score:
-            best_len, best_score = olen, score
+# ------------------------------------------------- depth + order stage
+def node_depths(
+    graph: PackedGraph, start_id: int, end_id: int, max_steps: int = 2_000_000
+) -> Dict[int, int]:
+    """BFS depth map from the start node (reindex_odgi_graph,
+    src/assembly.cpp:123-161): per-node max depth encountered."""
+    fwd, _ = graph.oriented_adjacency()
+    depths: Dict[int, int] = {}
+    visited: Dict[Tuple[int, bool], int] = {}
+    start = (start_id - graph.min_id, False)
+    q = deque([(start, 1)])
+    visited[start] = 1
+    steps = 0
+    while q and steps < max_steps:
+        h, d = q.popleft()
+        steps += 1
+        nid = h[0] + graph.min_id
+        if depths.get(nid, 0) < d:
+            depths[nid] = d
+        if nid == end_id and not h[1]:
             break
+        for nxt in fwd.get(h, ()):  # forward edges only, as reference
+            if visited.get(nxt, 0) < d + 1:
+                visited[nxt] = d + 1
+                q.append((nxt, d + 1))
+    return depths
+
+
+def sort_frags(frags: List[Frag], depths: Dict[int, int]) -> List[Frag]:
+    """compareByFirstNodeID (src/assembly.cpp:236-296), stable."""
+
+    def cmp(a: Frag, b: Frag) -> int:
+        da = depths.get(a.node_ids[0], 0) if a.node_ids else 0
+        db = depths.get(b.node_ids[0], 0) if b.node_ids else 0
+        if da != db:
+            return -1 if da < db else 1
+        if not a.node_ids or not b.node_ids:
+            if not b.node_ids and a.node_ids:
+                return -1
+            return 1 if (not a.node_ids and b.node_ids) else 0
+        if a.node_ids[0] != b.node_ids[0]:
+            return -1 if a.node_ids[0] < b.node_ids[0] else 1
+        if not a.offsets or not b.offsets:
+            if not b.offsets and a.offsets:
+                return -1
+            return 1 if (not a.offsets and b.offsets) else 0
+        if a.offsets[0] != b.offsets[0]:
+            return -1 if a.offsets[0] < b.offsets[0] else 1
+        if a.cut[0] != b.cut[0]:
+            return -1 if a.cut[0] > b.cut[0] else 1
+        for x, y in zip(a.node_ids, b.node_ids):
+            if x != y:
+                return -1 if x < y else 1
+        if len(a.node_ids) != len(b.node_ids):
+            return -1 if len(a.node_ids) < len(b.node_ids) else 1
+        if len(a.seq) != len(b.seq):
+            return -1 if len(a.seq) > len(b.seq) else 1
+        return 0
+
+    return sorted(frags, key=cmp_to_key(cmp))
+
+
+def to_rymer(seq: str) -> str:
+    """First/last 5 bases -> R/Y; reads <10bp unconverted
+    (convertToRYmerSpace, src/assembly.cpp:411-453)."""
+    if len(seq) < 10:
+        return seq
+    out = []
+    for i, c in enumerate(seq):
+        if i < 5 or i >= len(seq) - 5:
+            if c in "aAgG":
+                out.append("R")
+            elif c in "cCtT":
+                out.append("Y")
+            else:
+                out.append(c)
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+# --------------------------------------------------- overlap machinery
+def overlap_score(
+    a: str, b: str, min_olen: int, min_score: float
+) -> Tuple[int, float]:
+    """get_overlap_length_and_score (src/assembly.cpp:523-610): slide b
+    along a from every start; overlap = min(len(b), len(a)-start);
+    best by (length, then score) among candidates with score >=
+    min_score and length >= min_olen."""
+    la, lb = len(a), len(b)
+    if la < min_olen or lb == 0:
+        return 0, 0.0
+    aa, bb = _enc(a), _enc(b)
+    best_len, best_score = 0, 0.0
+    # full-length block: starts where olen == lb (vectorized)
+    n_full = la - lb + 1
+    if n_full > 0 and lb >= min_olen:
+        step = max(1, min(n_full, (1 << 22) // max(lb, 1)))
+        for s0 in range(0, n_full, step):
+            s1 = min(n_full, s0 + step)
+            w = np.lib.stride_tricks.sliding_window_view(
+                aa[s0 : s1 + lb - 1], lb
+            )
+            sc = _COMBINED[w, bb].sum(axis=1)
+            ok = sc >= min_score
+            if ok.any():
+                smax = sc[ok].max()
+                if lb > best_len or (lb == best_len and smax > best_score):
+                    best_len, best_score = lb, float(smax)
+    # tail block: olen shrinks below lb
+    t0 = max(0, n_full)
+    for start in range(t0, la - min_olen + 1):
+        olen = la - start
+        if olen >= lb:
+            continue
+        sc = float(_COMBINED[aa[start:], bb[:olen]].sum())
+        if sc >= min_score and olen >= min_olen:
+            if olen > best_len or (olen == best_len and sc > best_score):
+                best_len, best_score = olen, sc
     return best_len, best_score
 
 
-@dataclass
-class Contig:
-    codes: np.ndarray
-    probs: np.ndarray  # [L, 5]
-    counts: np.ndarray  # [L, 5] base counts
-    node_order: int
-    reads: List[str] = field(default_factory=list)
-
-
-def _contig_from_read(r: AssemblyRead) -> Contig:
-    counts = np.zeros((len(r.codes), 5), dtype=np.int64)
-    idx = np.minimum(r.codes, 4)
-    counts[np.arange(len(r.codes)), idx] = 1
-    return Contig(
-        codes=r.codes.copy(),
-        probs=r.probs.copy(),
-        counts=counts,
-        node_order=r.node_order,
-        reads=[r.name],
-    )
-
-
-def _merge(c: Contig, r: AssemblyRead, olen: int) -> None:
-    """Merge read r into contig c with overlap olen
-    (updateScoringMatrix/updateCountMatrix, `src/assembly.cpp:787-1008`)."""
-    lc = len(c.codes)
-    start = lc - olen
-    # overlapped region: accumulate probabilities and counts
-    c.probs[start:] += r.probs[:olen]
-    idx = np.minimum(r.codes[:olen], 4)
-    c.counts[np.arange(start, lc), idx] += 1
-    # recall consensus over overlap
-    c.codes[start:] = np.argmax(c.probs[start:], axis=1).astype(np.uint8)
-    # extension
-    ext = len(r.codes) - olen
-    if ext > 0:
-        c.codes = np.concatenate([c.codes, r.codes[olen:]])
-        c.probs = np.concatenate([c.probs, r.probs[olen:]])
-        cnt = np.zeros((ext, 5), dtype=np.int64)
-        idx2 = np.minimum(r.codes[olen:], 4)
-        cnt[np.arange(ext), idx2] = 1
-        c.counts = np.concatenate([c.counts, cnt])
-    c.reads.append(r.name)
-
-
-def assemble(
-    reads: List[AssemblyRead], min_len: int = 10, min_score: int = 15
-) -> List[Contig]:
-    """Greedy ordered assembly (reads are sorted along the reference)."""
-    contigs: List[Contig] = []
-    for r in reads:
-        merged = False
-        if contigs:
-            olen, score = overlap_score_contig(contigs[-1], r, min_len, min_score)
-            if olen > 0:
-                _merge(contigs[-1], r, olen)
-                merged = True
-        if not merged:
-            contigs.append(_contig_from_read(r))
-    # subset removal: drop contigs fully contained in a neighbor
-    out: List[Contig] = []
-    for c in contigs:
-        if out and _is_subset(c, out[-1]):
-            continue
-        out.append(c)
+def _match_count_windows(
+    hay: np.ndarray, needle: np.ndarray, allowed: int
+) -> np.ndarray:
+    """For each start in hay: RY-match count before the (allowed+1)-th
+    mismatch (isSubset / findAlignmentPosition inner loop,
+    src/assembly.cpp:1036-1097)."""
+    la = len(needle)
+    n = len(hay) - la + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    step = max(1, min(n, (1 << 22) // max(la, 1)))
+    for s0 in range(0, n, step):
+        s1 = min(n, s0 + step)
+        w = np.lib.stride_tricks.sliding_window_view(
+            hay[s0 : s1 + la - 1], la
+        )
+        m = _RYMATCH[w, needle]
+        nm = (~m).cumsum(axis=1)
+        full = m.sum(axis=1)
+        capped = (m & (nm <= allowed)).sum(axis=1)
+        total_mm = la - full
+        out[s0:s1] = np.where(total_mm <= allowed, full, capped)
     return out
 
 
-def overlap_score_contig(
-    c: Contig, r: AssemblyRead, min_len: int, min_score: int
-) -> Tuple[int, float]:
-    fake = AssemblyRead(
-        name="", codes=c.codes, probs=c.probs, first_node=0,
-        node_order=c.node_order, cut=False,
-    )
-    return overlap_score(fake, r, min_len, min_score)
-
-
-def _is_subset(a: Contig, b: Contig) -> bool:
-    if len(a.codes) > len(b.codes):
+def is_subset(
+    a_seq: str, a_ids: Sequence[int], b_seq: str, b_ids: Sequence[int],
+    allowed: int = 1,
+) -> bool:
+    """isSubset (src/assembly.cpp:1063-1097)."""
+    if len(a_seq) > len(b_seq):
         return False
-    sa = dna.decode(a.codes)
-    sb = dna.decode(b.codes)
-    return sa in sb
+    bset = set(b_ids)
+    if a_ids and all(i in bset for i in a_ids):
+        return True
+    thresh = int(SIMILARITY * len(a_seq))
+    mc = _match_count_windows(_enc(b_seq), _enc(a_seq), allowed)
+    return bool((mc >= thresh).any())
+
+
+def find_alignment_position(contig: str, read: str, allowed: int) -> int:
+    """findAlignmentPosition (src/assembly.cpp:1036-1058); -1 if none."""
+    if len(read) > len(contig):
+        return -1
+    thresh = int(SIMILARITY * len(read))
+    mc = _match_count_windows(_enc(contig), _enc(read), allowed)
+    hits = np.flatnonzero(mc >= thresh)
+    return int(hits[0]) if len(hits) else -1
+
+
+def find_match(contig: str, node_seq: str, from_start: bool) -> int:
+    """findMatch lambda (src/assembly.cpp:4227-4250 / :2768-2791):
+    damage-tolerant prefix/suffix agreement length."""
+    mml = min(len(contig), len(node_seq))
+    n = 0
+    for i in range(mml):
+        if from_start:
+            ca, cb = contig[i], node_seq[len(node_seq) - mml + i]
+        else:
+            ca, cb = contig[len(contig) - mml + i], node_seq[i]
+        if not _DMGMATCH[ord(ca), ord(cb)]:
+            break
+        n += 1
+    return n
+
+
+# ------------------------------------------------------- overlap graph
+def initial_overlap(
+    frags: List[Frag], depths: Dict[int, int]
+) -> Tuple[Dict[int, List[int]], int]:
+    """Density map (initial_overlap, src/assembly.cpp:617-665)."""
+    n = len(frags)
+    nd = np.array(
+        [depths.get(f.node_ids[0], -1) if f.node_ids else -1 for f in frags],
+        dtype=np.int64,
+    )
+    density: Dict[int, List[int]] = {}
+    inc = 0
+    known = nd != -1
+    for i in range(n):
+        if nd[i] == -1:
+            continue
+        mask = known & (nd >= nd[i]) & (nd <= nd[i] + 10)
+        mask[i] = False
+        pot = np.flatnonzero(mask)
+        inc += len(pot)
+        density[i] = pot.tolist()
+    if inc == 0:
+        inc = 1
+    return density, inc // max(n, 1)
+
+
+class GraphAss:
+    """Overlap DAG (src/assembly.h:78-126)."""
+
+    def __init__(self, n: int):
+        self.adj: List[Dict[int, float]] = [dict() for _ in range(n)]
+        self.in_degree = [0] * n
+
+    def add_edge(self, u: int, v: int, s: float) -> None:
+        if v not in self.adj[u]:
+            self.adj[u][v] = s
+            self.in_degree[v] += 1
+
+
+def find_overlaps(
+    frags: List[Frag],
+    min_olen: int,
+    min_score: float,
+    density: Dict[int, List[int]],
+    specified_deam: bool,
+    len_min: float,
+) -> Tuple[GraphAss, Dict[Tuple[int, int], Tuple[int, float]]]:
+    """find_overlaps (src/assembly.cpp:669-701): edges require both the
+    score gate and end-node containment in the partner's node list."""
+    g = GraphAss(len(frags))
+    overlap_map: Dict[Tuple[int, int], Tuple[int, float]] = {}
+    cache: Dict[Tuple[int, int], Tuple[int, float]] = {}
+
+    def ov(i: int, j: int) -> Tuple[int, float]:
+        key = (i, j)
+        if key not in cache:
+            if specified_deam:
+                cache[key] = overlap_score(
+                    frags[i].ry, frags[j].ry, min_olen, len_min
+                )
+            else:
+                cache[key] = overlap_score(
+                    frags[i].seq, frags[j].seq, min_olen, len_min
+                )
+        return cache[key]
+
+    for i, cands in density.items():
+        for j in cands:
+            r1 = ov(i, j)
+            r2 = ov(j, i)
+            end_i_in_j = frags[i].node_ids[-1] in frags[j].node_ids
+            end_j_in_i = frags[j].node_ids[-1] in frags[i].node_ids
+            if end_i_in_j and r1[0] >= min_olen and r1[1] >= min_score:
+                g.add_edge(i, j, r1[1])
+                overlap_map[(i, j)] = r1
+            if end_j_in_i and r2[0] >= min_olen and r2[1] >= min_score:
+                g.add_edge(j, i, r2[1])
+                overlap_map[(j, i)] = r2
+    return g, overlap_map
+
+
+# -------------------------------------------------------------- contigs
+@dataclass
+class Contig:
+    seq: str
+    ry: str
+    scoring: np.ndarray  # [L,5] log-probabilities
+    counts: np.ndarray  # [L,5] int
+    node_ids: List[int]
+    cut: Tuple[bool, int]
+    empty: np.ndarray = field(default=None)  # [L] bool: N-bridge rows
+
+    def __post_init__(self):
+        if self.empty is None:
+            self.empty = np.zeros(len(self.seq), dtype=bool)
+
+
+def _contig_from_frag(f: Frag) -> Contig:
+    with np.errstate(divide="ignore"):
+        scoring = np.log(f.probs)
+    return Contig(f.seq, f.ry, scoring, f.counts.copy(),
+                  list(f.node_ids), f.cut)
+
+
+def _merge_cut(base: Tuple[bool, int], other: Tuple[bool, int]):
+    """adjustFinalCut (src/assembly.cpp:1009-1034); returns the merged
+    cut, or None where the reference `continue`s out of the merge
+    (the N-bridge not-at-end variant, :3293-3298)."""
+    if other == base:
+        return base
+    if not base[0]:
+        if other[1] in (2, 3):
+            return other
+        return base
+    if not other[0]:
+        if base[1] == 2:
+            return (False, 0)
+        if base[1] == 3:
+            return (True, 1)
+        return base
+    if base[1] != other[1]:
+        if (base[1] == 1 and other[1] in (2, 3)) or (
+            base[1] == 3 and other[1] == 1
+        ):
+            return (True, 3)
+        if base[1] == 2 and other[1] == 1:
+            return (False, 0)
+        if base[1] == 3 and other[1] == 1:
+            return (True, 1)
+    return base
+
+
+def _ry_gate(tail: str, head: str, olen: int) -> bool:
+    """Overlap acceptance gate in mergeAllPaths (src/assembly.cpp:
+    1384-1401): first/last 5 overlap bases RY-match, middle exact."""
+    for i in range(olen):
+        a, b = tail[len(tail) - olen + i], head[i]
+        if i < 5 or i >= olen - 5:
+            if not _RYMATCH[ord(a), ord(b)]:
+                return False
+        elif a != b:
+            return False
+    return True
+
+
+def _majority_correct(seq: str, counts: np.ndarray) -> str:
+    """Count-majority correction (src/assembly.cpp:1527-1557): replace
+    a base not among the max-count bases. All-zero rows keep the
+    original char (divergence: reference picks unordered_map-first)."""
+    out = list(seq)
+    mx = counts.max(axis=1)
+    for i in range(len(out)):
+        if mx[i] <= 0:
+            continue
+        maxbases = {BASES5[k] for k in np.flatnonzero(counts[i] == mx[i])}
+        if out[i] not in maxbases:
+            out[i] = BASES5[int(np.argmax(counts[i]))]
+    return "".join(out)
+
+
+def merge_all_paths(
+    g: GraphAss,
+    overlap_map: Dict[Tuple[int, int], Tuple[int, float]],
+    frags: List[Frag],
+    specified_deam: bool,
+    len_min: float,
+) -> List[Contig]:
+    """mergeAllPaths (src/assembly.cpp:1102-1565): BFS greedy contig
+    construction over the overlap DAG."""
+    contigs: List[Contig] = []
+    visited = set()
+    for start in range(len(g.adj)):
+        if start in visited:
+            continue
+        f0 = frags[start]
+        contig = f0.seq
+        ry = f0.ry
+        with np.errstate(divide="ignore"):
+            scoring = np.log(f0.probs)
+        counts = f0.counts.copy()
+        node_ids = list(f0.node_ids)
+        finalcut = f0.cut
+        q = deque([start])
+        visited.add(start)
+        while q:
+            v = q.popleft()
+            neighbors = sorted(
+                g.adj[v].keys(), key=lambda t: -overlap_map[(v, t)][1]
+            )
+            for nb in neighbors:
+                if nb in visited:
+                    continue
+                fn = frags[nb]
+                common = [i for i in node_ids if i in set(fn.node_ids)]
+                if not common:
+                    continue
+                first_common = common[0]
+                pos_i = node_ids.index(first_common)
+                pos_j = fn.node_ids.index(first_common)
+
+                if specified_deam:
+                    bo = overlap_score(ry, fn.ry, 1, len_min)
+                    bo2 = overlap_score(fn.ry, ry, 1, len_min)
+                else:
+                    bo = overlap_score(contig, fn.seq, 1, len_min)
+                    bo2 = overlap_score(fn.seq, contig, 1, len_min)
+
+                # subset absorption (src/assembly.cpp:1232-1344)
+                nb_sub = is_subset(fn.seq, fn.node_ids, contig, node_ids, 0)
+                ct_sub = is_subset(contig, node_ids, fn.seq, fn.node_ids, 0)
+                if (
+                    bo[0] == len(fn.seq) or bo[0] == len(contig)
+                ) and (nb_sub or ct_sub):
+                    if ct_sub:
+                        old_contig, old_counts = contig, counts
+                        contig, ry = fn.seq, fn.ry
+                        node_ids = list(fn.node_ids)
+                        with np.errstate(divide="ignore"):
+                            scoring = np.log(fn.probs)
+                        counts = fn.counts.copy()
+                        off = find_alignment_position(fn.seq, old_contig, 1)
+                        if off >= 0:
+                            end = min(len(contig), off + len(old_contig))
+                            counts[off:end] += old_counts[: end - off]
+                        for i in fn.node_ids:
+                            if i not in node_ids:
+                                node_ids.append(i)
+                    else:
+                        pos = find_alignment_position(contig, fn.seq, 1)
+                        if pos >= 0:
+                            for i, c in enumerate(fn.seq):
+                                if pos + i < len(contig) and c in _B5:
+                                    counts[pos + i, _B5[c]] += 1
+                        for i in fn.node_ids:
+                            if i not in node_ids:
+                                node_ids.append(i)
+                    visited.add(nb)
+                    continue
+
+                if bo == (0, 0.0) and bo2 == (0, 0.0):
+                    continue  # zero overlap despite common ids (:1348)
+                if bo[0] > len(contig) or bo[0] > len(fn.seq):
+                    continue
+                if bo2[0] > len(contig) or bo2[0] > len(fn.seq):
+                    continue
+
+                # direction (src/assembly.cpp:1365-1374, C++ precedence
+                # quirk on the last condition preserved)
+                if pos_i > pos_j:
+                    go2 = False
+                elif pos_i < pos_j:
+                    go2 = True
+                elif bo2[1] > bo[1] and bo2[0] > bo[0]:
+                    go2 = True
+                elif bo2[1] > bo[1] or (bo2[0] > bo[0] and pos_i == pos_j):
+                    go2 = True
+                else:
+                    go2 = False
+
+                if go2:
+                    # read-first merge (src/assembly.cpp:1376-1447)
+                    if fn.node_ids[0] != node_ids[0]:
+                        continue
+                    olen = bo2[0]
+                    if not _ry_gate(contig, fn.seq, olen):
+                        continue
+                    # merged = read + contig[olen:]; prefix rows from
+                    # the read, suffix rows from the contig (see module
+                    # docstring: the reference branch is UB here)
+                    rl = len(fn.seq)
+                    new_seq = fn.seq + contig[olen:]
+                    new_ry = fn.ry + ry[olen:]
+                    with np.errstate(divide="ignore"):
+                        rsc = np.log(fn.probs)
+                    scoring = np.concatenate([rsc, scoring[olen:]])
+                    new_counts = np.zeros((len(new_seq), 5), np.int64)
+                    new_counts[:rl] = fn.counts
+                    new_counts[rl - olen :] += counts
+                    counts = new_counts
+                    contig, ry = new_seq, new_ry
+                    finalcut = _merge_cut(finalcut, fn.cut) or finalcut
+                    for i in fn.node_ids:
+                        if i not in node_ids:
+                            node_ids.append(i)
+                else:
+                    # contig-first merge (src/assembly.cpp:1449-1509)
+                    olen = bo[0]
+                    if not _ry_gate(contig, fn.seq, olen):
+                        continue
+                    new_part = fn.seq[olen:]
+                    start_idx = len(contig)
+                    contig = contig + new_part
+                    ry = ry + fn.ry[olen:]
+                    with np.errstate(divide="ignore"):
+                        rsc = np.log(fn.probs)
+                    scoring = np.concatenate([scoring, rsc[olen:]])
+                    new_counts = np.zeros((len(contig), 5), np.int64)
+                    new_counts[: start_idx] = counts
+                    new_counts[start_idx - olen :] += fn.counts
+                    counts = new_counts
+                    finalcut = _merge_cut(finalcut, fn.cut) or finalcut
+                    for i in fn.node_ids:
+                        if i not in node_ids:
+                            node_ids.append(i)
+                visited.add(nb)
+                q.append(nb)
+        contig = _majority_correct(contig, counts)
+        contigs.append(Contig(contig, ry, scoring, counts, node_ids,
+                              finalcut))
+    return contigs
+
+
+def remove_subset_contigs(contigs: List[Contig]) -> List[Contig]:
+    """removeSubsetContigs (src/assembly.cpp:1569-1625)."""
+    to_remove = set()
+    for i in range(len(contigs)):
+        if i in to_remove:
+            continue
+        for j in range(len(contigs)):
+            if i == j or j in to_remove:
+                continue
+            i_in_j = is_subset(contigs[i].seq, contigs[i].node_ids,
+                               contigs[j].seq, contigs[j].node_ids, 2)
+            j_in_i = is_subset(contigs[j].seq, contigs[j].node_ids,
+                               contigs[i].seq, contigs[i].node_ids, 2)
+            if i_in_j:
+                to_remove.add(i)
+                break
+            if j_in_i:
+                to_remove.add(j)
+    return [c for i, c in enumerate(contigs) if i not in to_remove]
+
+
+# -------------------------------------------- pairwise contig merging
+_TRANSITION = {("C", "T"), ("T", "C"), ("G", "A"), ("A", "G")}
+
+
+def merge_contigs(
+    c1: Contig, c2: Contig, olen: int, at_end: bool, mode: str
+) -> Contig:
+    """mergeContigs (src/assembly.cpp:1628-2363). at_end=True merges
+    c2 onto c1's tail; False merges c1 onto c2's tail. Overlap bases
+    resolve by mode-dependent majority rules (normal 0.65 / strict 0.9
+    with transversion N-masking / reckless pure majority)."""
+    A, B = (c1, c2) if at_end else (c2, c1)
+    if olen > len(B.seq):
+        return A
+    new_len = len(A.seq) + len(B.seq) - olen
+    seq = list(A.seq + B.seq[olen:])
+    ryseq = list(A.ry + B.ry[olen:])
+    scoring = np.zeros((new_len, 5), dtype=np.float64)
+    counts = np.zeros((new_len, 5), dtype=np.int64)
+    empty = np.zeros(new_len, dtype=bool)
+    la = len(A.seq)
+    scoring[:la] = A.scoring
+    counts[:la] = A.counts
+    empty[:la] = A.empty
+    a_start = la - olen
+    n_uniform = np.log(np.full(5, 0.20))
+
+    for ov in range(olen):
+        ai, bi = a_start + ov, ov
+        ca, cb = seq[ai], B.seq[bi]
+        if ca == cb:
+            continue
+
+        def count_of(ch: str) -> int:
+            m = counts[ai, _B5[ch]] if ch in _B5 else 0
+            o = B.counts[bi, _B5[ch]] if ch in _B5 else 0
+            return int(m) + int(o)
+
+        def take_b():
+            scoring[ai] = B.scoring[bi]
+            counts[ai] += B.counts[bi]
+            seq[ai] = cb
+            ryseq[ai] = B.ry[bi]
+
+        def mask_n():
+            seq[ai] = "N"
+            counts[ai] += B.counts[bi]
+            scoring[ai] = n_uniform
+            ryseq[ai] = "N"
+
+        if ca == "-" or cb == "-":
+            if count_of(ca) < count_of(cb):
+                take_b()
+            continue
+        is_ts = (ca, cb) in _TRANSITION
+        if mode == "reckless":
+            if count_of(ca) < count_of(cb):
+                take_b()
+            continue
+        thr = 0.9 if mode == "strict" else 0.65
+        n_a, n_b = count_of(ca), count_of(cb)
+        total = n_a + n_b
+        if total == 0:
+            mask_n()
+            continue
+        if is_ts:
+            if n_a / total >= thr:
+                continue
+            if n_b / total >= thr:
+                take_b()
+            else:
+                mask_n()
+        else:
+            if n_b / total >= thr:
+                take_b()
+            elif n_a / total >= thr:
+                continue
+            else:
+                mask_n()
+
+    rest = len(B.seq) - olen
+    if rest > 0:
+        scoring[la:] = B.scoring[olen:]
+        counts[la:] = B.counts[olen:]
+        empty[la:] = B.empty[olen:]
+
+    node_ids = list(A.node_ids)
+    seen = set(node_ids)
+    for i in B.node_ids:
+        if i not in seen:
+            node_ids.append(i)
+            seen.add(i)
+    cut = _merge_cut(A.cut, B.cut) or A.cut
+    return Contig("".join(seq), "".join(ryseq), scoring, counts,
+                  node_ids, cut, empty)
+
+
+@dataclass
+class MergeDecision:
+    can: bool = False
+    olen: int = 0
+    score: float = 0.0
+    at_end: bool = False
+    num_n: int = -1
+
+
+def try_merge_contigs(
+    ci: Contig, cj: Contig,
+    min_olen: int,
+    node_seq_map: Dict[int, Tuple[str, int, int]],
+    len_min: float,
+) -> MergeDecision:
+    """tryMergeContigs (src/assembly.cpp:2372-3065)."""
+    res = MergeDecision()
+    jset = set(cj.node_ids)
+    common = [i for i in ci.node_ids if i in jset]
+    if not common:
+        return res
+    end_r = overlap_score(ci.ry, cj.ry, min_olen, len_min)
+    begin_r = overlap_score(cj.ry, ci.ry, min_olen, len_min)
+    seq_te = overlap_score(ci.seq, cj.seq, min_olen, len_min)
+    seq_ts = overlap_score(cj.seq, ci.seq, min_olen, len_min)
+    if (seq_te[0] > end_r[0] and seq_te[1] > end_r[1]) or (
+        seq_ts[0] > begin_r[0] and seq_ts[1] > begin_r[1]
+    ):
+        end_r, begin_r = seq_te, seq_ts
+
+    first_common = common[0]
+    pos_i = ci.node_ids.index(first_common)
+    pos_j = cj.node_ids.index(first_common)
+    is_i_to_j = pos_i < pos_j
+    if pos_i != 0 and pos_j != 0 and pos_i != pos_j:
+        is_i_to_j = not (end_r[0] > begin_r[0] and end_r[1] > begin_r[1])
+
+    nc = len(common)
+    if (end_r[0] > nc and end_r[1] > 0) or (
+        begin_r[1] > 0 and begin_r[0] > nc
+    ):
+        if pos_i == pos_j:
+            if end_r[1] > begin_r[1] and end_r[0] > begin_r[0]:
+                best, at_end = end_r, True
+            elif end_r[1] < begin_r[1] and end_r[0] < begin_r[0]:
+                best, at_end = begin_r, False
+            else:
+                return res
+        else:
+            if (end_r[1] > begin_r[1] and end_r[0] > begin_r[0]) and not is_i_to_j:
+                best, at_end = end_r, True
+            elif (end_r[1] < begin_r[1] and end_r[0] < begin_r[0]) and is_i_to_j:
+                best, at_end = begin_r, False
+            elif ci.cut[0] or cj.cut[0]:
+                if end_r[1] > begin_r[1] and end_r[0] > begin_r[0]:
+                    best, at_end = end_r, True
+                elif end_r[1] < begin_r[1] and end_r[0] < begin_r[0]:
+                    best, at_end = begin_r, False
+                else:
+                    return res
+            else:
+                if not is_i_to_j:
+                    best, at_end = end_r, True
+                else:
+                    best, at_end = begin_r, False
+        res.can = True
+        res.olen, res.score = best
+        res.at_end = at_end
+        return res
+
+    if nc == 1:
+        # single shared node: bridge across the node sequence with Ns
+        # (src/assembly.cpp:2763-2827)
+        cid = common[0]
+        node_seq = node_seq_map.get(cid, ("", 0, 0))[0]
+        if (
+            ci.node_ids[-1] == cid and cj.node_ids[0] == cid
+            and ci.cut[1] < 2 and cj.cut[1] not in (1, 3)
+        ):
+            mi = find_match(ci.seq, node_seq, False)
+            mj = find_match(cj.seq, node_seq, True)
+            res.can = True
+            res.at_end = True
+            res.num_n = (
+                max(len(node_seq) - (mi + mj), 0) if mi > 0 and mj > 0 else 0
+            )
+        if (
+            cj.node_ids[-1] == cid and ci.node_ids[0] == cid
+            and cj.cut[1] < 2 and ci.cut[1] not in (1, 3)
+        ):
+            mj = find_match(cj.seq, node_seq, False)
+            mi = find_match(ci.seq, node_seq, True)
+            res.can = True
+            res.at_end = False
+            res.num_n = (
+                max(len(node_seq) - (mi + mj), 0) if mi > 0 and mj > 0 else 0
+            )
+        return res
+
+    # >1 common node, no qualifying overlap: the reference branch
+    # (src/assembly.cpp:2831-3047) re-tests the same overlaps against a
+    # now-stricter gate and can never pass with length 0 — no merge.
+    return res
+
+
+def merge_overlapping_contigs(
+    contigs: List[Contig],
+    min_olen: int,
+    node_seq_map: Dict[int, Tuple[str, int, int]],
+    mode: str,
+    len_min: float,
+) -> List[Contig]:
+    """mergeOverlappingContigs (src/assembly.cpp:3069-3345)."""
+    contigs = remove_subset_contigs(contigs)
+    potential: List[Tuple[int, int, MergeDecision]] = []
+    for i in range(len(contigs)):
+        for j in range(i + 1, len(contigs)):
+            d = try_merge_contigs(
+                contigs[i], contigs[j], min_olen, node_seq_map, len_min
+            )
+            if not d.can:
+                continue
+            if (d.at_end and d.olen > len(contigs[j].seq)) or (
+                not d.at_end and d.olen > len(contigs[i].seq)
+            ):
+                continue
+            potential.append((i, j, d))
+
+    # best candidate per (i, at_end) by score then length (:3123-3148)
+    by_i: Dict[int, Dict[bool, Tuple[int, int, MergeDecision]]] = {}
+    for i, j, d in potential:
+        slot = by_i.setdefault(i, {})
+        cur = slot.get(d.at_end)
+        if (
+            cur is None
+            or d.score > cur[2].score
+            or (d.score == cur[2].score and d.olen > cur[2].olen)
+        ):
+            slot[d.at_end] = (i, j, d)
+    filtered = [t for i in sorted(by_i) for t in by_i[i].values()]
+
+    merged_idx = set()
+    out: List[Contig] = []
+    for i, j, d in filtered:
+        if i in merged_idx or j in merged_idx:
+            continue
+        if d.num_n > -1:
+            # N-bridge concatenation (src/assembly.cpp:3166-3317)
+            A, B = (contigs[i], contigs[j]) if d.at_end else (
+                contigs[j], contigs[i]
+            )
+            cut = _merge_cut(A.cut, B.cut)
+            if cut is None:
+                continue
+            ns = d.num_n
+            seq = A.seq + "N" * ns + B.seq
+            ry = A.ry + "N" * ns + B.ry
+            scoring = np.concatenate(
+                [A.scoring, np.zeros((ns, 5)), B.scoring]
+            )
+            cnts = np.concatenate(
+                [A.counts, np.zeros((ns, 5), np.int64), B.counts]
+            )
+            empty = np.concatenate(
+                [A.empty, np.ones(ns, dtype=bool), B.empty]
+            )
+            # no node-id dedup here (reference quirk, :3208-3209)
+            node_ids = list(A.node_ids) + list(B.node_ids)
+            out.append(Contig(seq, ry, scoring, cnts, node_ids, cut, empty))
+        else:
+            out.append(
+                merge_contigs(contigs[i], contigs[j], d.olen, d.at_end, mode)
+            )
+        merged_idx.add(i)
+        merged_idx.add(j)
+    for i, c in enumerate(contigs):
+        if i not in merged_idx:
+            out.append(c)
+    return out
+
+
+def check_and_merge_contigs(
+    ci: Contig, cj: Contig,
+    node_seq_map: Dict[int, Tuple[str, int, int]],
+    len_min: float, score_min: float, specified_deam: bool, mode: str,
+) -> Optional[Contig]:
+    """checkAndMergeContigs (src/assembly.cpp:3392-3552). Quirk: the
+    RY/plain choice is inverted here relative to every other caller."""
+    jset = set(cj.node_ids)
+    common = [i for i in ci.node_ids if i in jset]
+    if specified_deam:
+        r1 = overlap_score(ci.seq, cj.seq, int(len_min), score_min)
+        r2 = overlap_score(cj.seq, ci.seq, int(len_min), score_min)
+    else:
+        r1 = overlap_score(ci.ry, cj.ry, int(len_min), score_min)
+        r2 = overlap_score(cj.ry, ci.ry, int(len_min), score_min)
+
+    can1 = (ci.cut[0] and ci.cut[1] in (2, 3)) or (
+        cj.cut[0] and cj.cut[1] in (1, 3)
+    )
+    can2 = (cj.cut[0] and cj.cut[1] in (2, 3)) or (
+        ci.cut[0] and ci.cut[1] in (1, 3)
+    )
+    if (
+        can1 and r1[0] > len_min and r1[1] > score_min
+        and r1[0] < len(ci.seq) and r1[0] < len(cj.seq)
+        and (r1[1] > r2[1] or r1[0] > r2[0])
+    ):
+        return merge_contigs(ci, cj, r1[0], True, mode)
+    if (
+        can2 and r2[0] > len_min and r2[1] > score_min
+        and r2[0] < len(ci.seq) and r2[0] < len(cj.seq)
+        and (r1[1] < r2[1] or r1[0] < r2[0])
+    ):
+        return merge_contigs(cj, ci, r2[0], False, mode)
+    if common:
+        # forced overlap from shared node spans (:3480-3548)
+        uniq = sorted(set(common))
+        forced = 0
+        for nid in uniq:
+            if nid not in node_seq_map:
+                continue
+            nseq, nlen, _ = node_seq_map[nid]
+            if nid == uniq[0]:
+                forced += find_match(ci.seq, nseq, True)
+            elif nid == uniq[-1]:
+                forced += find_match(cj.seq, nseq, False)
+            else:
+                forced += nlen
+        if forced >= len(ci.seq):
+            return ci
+        return merge_contigs(ci, cj, forced, True, mode)
+    return None
+
+
+# --------------------------------------------------------- orchestration
+def _node_seq_maps(graph: PackedGraph, ref_path: int):
+    """nodeSequenceMap (chosen path) and nodeSequenceMap2 (all paths),
+    src/assembly.cpp:4049-4088. Values: (seq, len, order)."""
+    node_lengths: List[Tuple[int, int]] = []
+    nmap: Dict[int, Tuple[str, int, int]] = {}
+    for order, (nidx, rev) in enumerate(
+        zip(graph.path_steps_node[ref_path], graph.path_steps_rev[ref_path])
+    ):
+        nid = int(nidx) + graph.min_id
+        seq = graph.node_seq(nid, bool(rev))
+        nmap[nid] = (seq, len(seq), order)
+        node_lengths.append((nid, len(seq)))
+    nmap2: Dict[int, Tuple[str, int, int]] = {}
+    for p in range(graph.n_paths):
+        for order, (nidx, rev) in enumerate(
+            zip(graph.path_steps_node[p], graph.path_steps_rev[p])
+        ):
+            nid = int(nidx) + graph.min_id
+            seq = graph.node_seq(nid, bool(rev))
+            nmap2[nid] = (seq, len(seq), order)
+    return node_lengths, nmap, nmap2
+
+
+def assemble(
+    graph: PackedGraph,
+    frags: List[Frag],
+    ref_path: int = 0,
+    len_min: int = 10,
+    score_min: int = 15,
+    mode: str = "normal",
+    specified_deam: bool = False,
+    clade_range: Optional[Tuple[int, int]] = None,
+) -> List[Contig]:
+    """Full assembly pipeline (src/assembly.cpp:4001-4210): depth sort,
+    overlap DAG, BFS contigs, subset removal, merge fixpoint, ordering
+    along the reference path, final adjacent merge."""
+    if not frags:
+        raise RuntimeError("Error: No reads are mapped. Unable to proceed.")
+    if clade_range is not None:
+        start_id, end_id = clade_range
+    else:
+        start_id, end_id = graph.min_id, graph.max_id
+    depths = node_depths(graph, start_id, end_id)
+    frags = sort_frags(frags, depths)
+    for f in frags:
+        f.ry = to_rymer(f.seq)
+
+    density, _avg = initial_overlap(frags, depths)
+    g, overlap_map = find_overlaps(
+        frags, len_min, score_min, density, specified_deam, len_min
+    )
+    contigs = merge_all_paths(g, overlap_map, frags, specified_deam, len_min)
+    contigs = remove_subset_contigs(contigs)
+
+    node_lengths, nmap, nmap2 = _node_seq_maps(graph, ref_path)
+    merged = merge_overlapping_contigs(contigs, 1, nmap2, mode, len_min)
+    while True:
+        prev = len(merged)
+        merged = merge_overlapping_contigs(merged, 1, nmap2, mode, len_min)
+        if len(merged) >= prev:
+            break
+
+    # ordering along the reference path (:4114-4162)
+    ordered: List[Contig] = []
+    used = set()
+    for nid, _ in node_lengths:
+        for k, c in enumerate(merged):
+            if k not in used and c.node_ids and c.node_ids[0] == nid:
+                ordered.append(c)
+                used.add(k)
+                break
+    unmatched = [c for k, c in enumerate(merged) if k not in used]
+    for c in unmatched:
+        rng = nmap2.get(c.node_ids[0], ("", 0, 1 << 30))[2]
+        at = len(ordered)
+        for k, oc in enumerate(ordered):
+            if nmap2.get(oc.node_ids[0], ("", 0, 1 << 30))[2] > rng:
+                at = k
+                break
+        ordered.insert(at, c)
+
+    # final adjacent-merge fixpoint (:4167-4208)
+    while True:
+        occurred = False
+        result: List[Contig] = []
+        skip = set()
+        for k in range(len(ordered)):
+            if k in skip:
+                continue
+            c = ordered[k]
+            if k + 1 < len(ordered) and (k + 1) not in skip:
+                m = check_and_merge_contigs(
+                    c, ordered[k + 1], nmap, len_min, score_min,
+                    specified_deam, mode,
+                )
+                if m is not None:
+                    c = m
+                    skip.add(k + 1)
+                    occurred = True
+            result.append(c)
+        ordered = result
+        if not occurred:
+            break
+    return ordered
 
 
 def consensus(
@@ -265,77 +1237,161 @@ def consensus(
     contigs: List[Contig],
     ref_path: int = 0,
     min_coverage: int = 1,
-) -> str:
-    """Place contigs along the reference path, bridge gaps with N runs,
-    mask low coverage (`src/assembly.cpp:4216-4450`)."""
-    ref_codes = []
-    for nidx, rev in zip(
-        graph.path_steps_node[ref_path], graph.path_steps_rev[ref_path]
-    ):
-        ref_codes.append(graph.node_codes(int(nidx) + graph.min_id, bool(rev)))
-    ref = np.concatenate(ref_codes) if ref_codes else np.zeros(0, np.uint8)
-    ref_str = dna.decode(ref)
-    out = np.full(len(ref), dna.N, dtype=np.uint8)
-    for c in contigs:
-        s = dna.decode(c.codes)
-        pos = ref_str.find(s[: min(30, len(s))])
-        if pos < 0:
-            # damage-tolerant anchor: slide and pick best RY agreement
-            pos = _best_anchor(ref, c.codes)
-        if pos < 0:
+    unknown_ref: bool = False,
+    use_remaining: bool = False,
+) -> Tuple[str, np.ndarray, np.ndarray, np.ndarray]:
+    """Consensus along the reference path's node walk
+    (src/assembly.cpp:4216-4438). Returns (fasta, scoring, counts,
+    empty_mask)."""
+    node_lengths, nmap, _ = _node_seq_maps(graph, ref_path)
+    n_uniform = np.log(np.full(5, 0.20))
+    fasta: List[str] = []
+    sc_rows: List[np.ndarray] = []
+    ct_rows: List[np.ndarray] = []
+    em_rows: List[np.ndarray] = []
+    used = set()
+    in_contig = False
+    last_node = -1
+    contig_seq = ""
+
+    def push_n(n: int):
+        if n <= 0:
+            return
+        fasta.append("N" * n)
+        sc_rows.append(np.tile(n_uniform, (n, 1)))
+        ct_rows.append(np.zeros((n, 5), np.int64))
+        em_rows.append(np.zeros(n, dtype=bool))
+
+    for nid, nlen in node_lengths:
+        hit = None
+        for k, c in enumerate(contigs):
+            if nid in c.node_ids:
+                hit = k
+                break
+        if hit is not None and hit not in used:
+            c = contigs[hit]
+            contig_seq = c.seq
+            nid_use = nid
+            for cand in c.node_ids:
+                if cand in nmap:
+                    nid_use = cand
+                    break
+            node_seq = nmap[nid_use][0]
+            m = find_match(contig_seq, node_seq, True)
+            ns = 0 if m == 0 else max(len(node_seq) - m, 0)
+            if c.cut[0]:
+                ns = 0
+            push_n(ns)
+            fasta.append(contig_seq)
+            sc_rows.append(c.scoring)
+            ct_rows.append(c.counts)
+            em_rows.append(c.empty)
+            used.add(hit)
+            last_node = c.node_ids[-1]
+            in_contig = True
+        else:
+            if in_contig:
+                if nid == last_node:
+                    node_seq = nmap[nid][0]
+                    m = find_match(contig_seq, node_seq, False)
+                    ns = 1 if m == 0 else max(len(node_seq) - m, 0)
+                    if hit is not None and contigs[hit].cut[0]:
+                        ns = 1
+                    push_n(ns)
+                    in_contig = False
+            else:
+                if not unknown_ref:
+                    push_n(nlen)
+                else:
+                    print(
+                        "Unknown reference specified: not bridging unknown"
+                        " node IDs with 'N'.",
+                        file=sys.stderr,
+                    )
+
+    if use_remaining:
+        for k, c in enumerate(contigs):
+            if k in used:
+                continue
+            ns = 0
+            if in_contig and c.node_ids and c.node_ids[0] in nmap:
+                ns = max(find_match(c.seq, nmap[c.node_ids[0]][0], True), 0)
+            if c.cut[0]:
+                ns = 1
+            push_n(ns)
+            fasta.append(c.seq)
+            sc_rows.append(c.scoring)
+            ct_rows.append(c.counts)
+            em_rows.append(c.empty)
+
+    seq = list("".join(fasta))
+    scoring = (
+        np.concatenate(sc_rows) if sc_rows else np.zeros((0, 5))
+    )
+    counts = (
+        np.concatenate(ct_rows) if ct_rows else np.zeros((0, 5), np.int64)
+    )
+    empty = (
+        np.concatenate(em_rows) if em_rows else np.zeros(0, dtype=bool)
+    )
+    # coverage mask + majority correction (:4405-4438)
+    totals = counts.sum(axis=1)
+    mx = counts.max(axis=1)
+    for i in range(len(seq)):
+        if totals[i] < min_coverage:
+            seq[i] = "N"
             continue
-        end = min(len(ref), pos + len(c.codes))
-        span = end - pos
-        cov = c.counts[:span].sum(axis=1)
-        keep = cov >= min_coverage
-        seg = c.codes[:span].copy()
-        seg[~keep] = dna.N
-        out[pos:end] = seg
-    return dna.decode(out)
-
-
-def _best_anchor(ref: np.ndarray, codes: np.ndarray) -> int:
-    if len(codes) > len(ref):
-        return -1
-    best, best_pos = -1, -1
-    ry_ref = _ry(ref)
-    ry_c = _ry(codes)
-    head = ry_c[: min(40, len(ry_c))]
-    for pos in range(0, len(ref) - len(head)):
-        m = int((ry_ref[pos : pos + len(head)] == head).sum())
-        if m > best:
-            best, best_pos = m, pos
-    if best < 0.8 * len(head):
-        return -1
-    return best_pos
+        if mx[i] > 0:
+            best = BASES5[int(np.argmax(counts[i]))]
+            if seq[i] != best:
+                seq[i] = best
+    return "".join(seq), scoring, counts, empty
 
 
 def write_outputs(
-    out_prefix: str, contigs: List[Contig], consensus_seq: str
+    out_prefix: str,
+    contigs: List[Contig],
+    fasta: str,
+    scoring: np.ndarray,
+    counts: np.ndarray,
+    empty: Optional[np.ndarray] = None,
 ) -> None:
+    """Output files (src/assembly.cpp:164-233, 3350-3390, 4212-4450):
+    Contig.fa.gz, Consensus.fa.gz, ProbabilityMatrix.tsv (probability
+    space, empty rows blank), CountMatrix.tsv."""
+    if empty is None:
+        empty = np.zeros(len(fasta), dtype=bool)
     with gzip.open(f"{out_prefix}Contig.fa.gz", "wt") as f:
         for i, c in enumerate(contigs):
-            f.write(f">contig_{i} reads={len(c.reads)}\n{dna.decode(c.codes)}\n")
+            f.write(f">contig_{i + 1}\n{c.seq}\n")
     with gzip.open(f"{out_prefix}Consensus.fa.gz", "wt") as f:
-        f.write(f">consensus\n{consensus_seq}\n")
+        f.write(f">Consensus\n{fasta}\n")
     with open(f"{out_prefix}ProbabilityMatrix.tsv", "w") as f:
-        f.write("contig\tpos\tA\tC\tG\tT\tgap\n")
-        for i, c in enumerate(contigs):
-            for p in range(len(c.codes)):
+        for i in range(len(scoring)):
+            f.write(f"Position {i + 1}:\t")
+            if not empty[i]:
+                probs = np.exp(scoring[i])
                 f.write(
-                    f"{i}\t{p}\t"
-                    + "\t".join(f"{x:.5g}" for x in c.probs[p])
-                    + "\n"
+                    "\t".join(
+                        f"{BASES5[k]}={probs[k]:g}" for k in range(5)
+                    )
                 )
+                f.write("\t")
+            f.write("\n")
     with open(f"{out_prefix}CountMatrix.tsv", "w") as f:
-        f.write("contig\tpos\tA\tC\tG\tT\tgap\n")
-        for i, c in enumerate(contigs):
-            for p in range(len(c.codes)):
+        for i in range(len(counts)):
+            f.write(f"Position {i + 1}:\t")
+            if not empty[i]:
                 f.write(
-                    f"{i}\t{p}\t" + "\t".join(map(str, c.counts[p])) + "\n"
+                    "\t".join(
+                        f"{BASES5[k]}={counts[i][k]}" for k in range(5)
+                    )
                 )
+                f.write("\t")
+            f.write("\n")
 
 
+# ------------------------------------------------------------------ CLI
 def main_keelime(args: List[str]) -> int:
     import os
 
@@ -349,8 +1405,11 @@ def main_keelime(args: List[str]) -> int:
     out = "keelime_output"
     ref_path_name = ""
     min_cov = 1
-    min_len, min_score = 10, 15
+    len_min, score_min = 10, 15
     mode = "normal"
+    deam5p = deam3p = ""
+    unknown_ref = False
+    use_remaining = False
     i = 0
     while i < len(args):
         a = args[i]
@@ -368,12 +1427,20 @@ def main_keelime(args: List[str]) -> int:
             ref_path_name = _take(args, i); i += 2
         elif a == "-c":
             min_cov = int(_take(args, i)); i += 2
-        elif a == "-mL":
-            min_len = int(_take(args, i)); i += 2
+        elif a in ("-mL", "--lenMin"):
+            len_min = int(_take(args, i)); i += 2
         elif a == "-mS":
-            min_score = int(_take(args, i)); i += 2
-        elif a == "--mode":
+            score_min = int(_take(args, i)); i += 2
+        elif a in ("-m", "--mode"):
             mode = _take(args, i); i += 2
+        elif a == "--deam5p":
+            deam5p = _take(args, i); i += 2
+        elif a == "--deam3p":
+            deam3p = _take(args, i); i += 2
+        elif a in ("-uR", "--unknownRef"):
+            unknown_ref = True; i += 1
+        elif a in ("-uC", "--useRemaining"):
+            use_remaining = True; i += 1
         elif a == "-t":
             i += 2
         else:
@@ -383,24 +1450,28 @@ def main_keelime(args: List[str]) -> int:
     ref_path = 0
     if ref_path_name and ref_path_name in graph.path_names:
         ref_path = graph.path_names.index(ref_path_name)
+    damage = None
+    specified_deam = bool(deam5p or deam3p)
+    if specified_deam:
+        damage = DamageModel.from_profiles(deam5p or None, deam3p or None)
     if gamfile:
         alignments = gamio.read_gam(gamfile)
     else:
         mapper = Mapper(graph)
         alignments = mapper.map_reads(fastx.read_fastq(fq1))
-    reads = analyse_gam(graph, alignments, ref_path=ref_path)
-    # mode-dependent stringency (`src/assembly.cpp` majority rules):
-    # reckless merges aggressively, strict demands stronger overlaps
-    if mode == "reckless":
-        min_score = max(5, min_score // 2)
-    elif mode == "strict":
-        min_score = min_score * 2
-    contigs = assemble(reads, min_len=min_len, min_score=min_score)
-    cons = consensus(graph, contigs, ref_path=ref_path, min_coverage=min_cov)
-    write_outputs(out, contigs, cons)
+    frags = analyse_gam(graph, alignments, damage=damage)
+    contigs = assemble(
+        graph, frags, ref_path=ref_path, len_min=len_min,
+        score_min=score_min, mode=mode, specified_deam=specified_deam,
+    )
+    fasta, scoring, counts, empty = consensus(
+        graph, contigs, ref_path=ref_path, min_coverage=min_cov,
+        unknown_ref=unknown_ref, use_remaining=use_remaining,
+    )
+    write_outputs(out, contigs, fasta, scoring, counts, empty)
     print(
-        f"[keelime] {len(reads)} reads -> {len(contigs)} contigs, "
-        f"consensus {len(cons)}bp",
+        f"[keelime] {len(frags)} reads -> {len(contigs)} contigs, "
+        f"consensus {len(fasta)}bp",
         file=sys.stderr,
     )
     return 0
