@@ -141,3 +141,110 @@ def test_native_graph_aligner_parity(toy_graph, ref):
                 assert py.walk == nat.walk, r.name
                 checked += 1
     assert checked >= 10
+
+
+# ------------------------------------------------------ paired mapping
+@pytest.fixture(scope="module")
+def mt_world():
+    from vgan_tpu.graph.synth import build_haplotype_graph
+    from vgan_tpu.io.fastx import read_fasta
+    from vgan_tpu.mapper.giraffe import BatchedMapper
+
+    seqs, _ = read_fasta("/root/reference/test/input_files/rCRS.fa")
+    graph, _ = build_haplotype_graph(
+        seqs[0][:4000], n_haplotypes=4, n_variants=20, seed=5
+    )
+    return graph, BatchedMapper(graph, k=20, w=10)
+
+
+def _make_pairs(graph, n_pairs, frag_len=300, read_len=60, seed=0):
+    from vgan_tpu.io.fastx import Read
+    from vgan_tpu.utils import dna as d
+
+    rng = np.random.default_rng(seed)
+    seq = graph.path_seq(0)
+    pairs1, pairs2, starts = [], [], []
+    for i in range(n_pairs):
+        start = int(rng.integers(0, len(seq) - frag_len))
+        frag = seq[start : start + frag_len]
+        r1 = frag[:read_len]
+        r2 = d.decode(d.revcomp_codes(d.encode(frag[-read_len:])))
+        q = bytes([35] * read_len)
+        pairs1.append(Read(name=f"p{i}/1", seq=r1, qual=q))
+        pairs2.append(Read(name=f"p{i}/2", seq=r2, qual=q))
+        starts.append(start)
+    return pairs1, pairs2, starts
+
+
+def test_map_read_pairs_consistent(mt_world):
+    graph, mapper = mt_world
+    p1, p2, starts = _make_pairs(graph, 8)
+    out = mapper.map_read_pairs(p1, p2)
+    assert len(out) == 16
+    for k in range(8):
+        a1, a2 = out[2 * k], out[2 * k + 1]
+        assert a1.read_paired and a2.read_paired
+        assert a1.identity > 0 and a2.identity > 0
+        # proper orientation: mates on opposite strands
+        s1 = a1.path.mappings[0].position.is_reverse
+        s2 = a2.path.mappings[0].position.is_reverse
+        assert s1 != s2
+        assert a1.mapping_quality > 0
+
+
+def test_map_read_pairs_agrees_with_single(mt_world):
+    """On unambiguous input, joint selection picks the same placements
+    as independent mapping."""
+    graph, mapper = mt_world
+    p1, p2, _ = _make_pairs(graph, 6, seed=3)
+    paired = mapper.map_read_pairs(p1, p2)
+    single = mapper.map_reads(p1 + p2)
+    for k in range(6):
+        for a_p, a_s in ((paired[2 * k], single[k]),
+                         (paired[2 * k + 1], single[6 + k])):
+            if a_s.identity == 0:
+                continue
+            assert (
+                a_p.path.mappings[0].position.node_id
+                == a_s.path.mappings[0].position.node_id
+            )
+
+
+def test_mate_rescue(mt_world):
+    """A mate whose every k-mer is broken by mismatches (no seeds) is
+    rescued by alignment next to its mapped partner."""
+    graph, mapper = mt_world
+    p1, p2, _ = _make_pairs(graph, 3, read_len=60, seed=7)
+    # corrupt mate 2: a mismatch every 15bp kills all 20-mers
+    from vgan_tpu.io.fastx import Read
+
+    def corrupt(r):
+        s = list(r.seq)
+        for pos in range(7, len(s), 15):
+            s[pos] = {"A": "C", "C": "A", "G": "T", "T": "G"}[s[pos]]
+        return Read(name=r.name, seq="".join(s), qual=r.qual)
+
+    p2c = [corrupt(r) for r in p2]
+    # sanity: corrupted mates find no candidates on their own
+    solo = mapper.map_reads(p2c)
+    assert all(a.identity == 0 for a in solo)
+    out = mapper.map_read_pairs(p1, p2c)
+    rescued = [out[2 * k + 1] for k in range(3)]
+    assert all(a.identity > 0.8 for a in rescued)
+    assert all(a.mapping_quality == 30 for a in rescued)
+    # rescued placement is near the partner (same path / fragment span)
+    for k in range(3):
+        n1 = out[2 * k].path.mappings[0].position.node_id
+        n2 = rescued[k].path.mappings[0].position.node_id
+        assert abs(n1 - n2) < 80  # nodes are 8bp; 300bp fragment ~ 40
+
+
+def test_fallback_minimizer_trigger():
+    """Consensus inputs with >7999 ambiguous bases switch to the
+    k17/w18 index (`src/map_giraffe.cpp:44-55`)."""
+    from vgan_tpu.pipelines.haplocart_runner import needs_fallback_index
+
+    assert not needs_fallback_index("ACGT" * 4000)
+    assert not needs_fallback_index("N" * 7999)
+    assert needs_fallback_index("N" * 8000)
+    assert needs_fallback_index(("ACGT" * 2000) + ("-" * 8000))

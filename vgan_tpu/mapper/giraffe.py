@@ -342,19 +342,21 @@ class BatchedMapper(Mapper):
     per-read path).
     """
 
-    def map_reads(self, reads, max_candidates: int = 8, pad: int = 24):
+    def _gather_candidates(self, reads, max_candidates: int = 8,
+                           pad: int = 24):
+        """Seed + cluster the whole batch, score every candidate
+        window in one device call. Returns (read_codes, all_cands,
+        scores, best_of) where best_of[ri] maps a window-content key
+        to (score, candidate index)."""
         import hashlib
 
-        from .graph_align import align_to_window_native, build_window
         from .sw_pallas import sw_scores_xla
         from .index import _path_codes
 
         graph = self.graph
         index = self.index
-        n = len(reads)
-        all_cands = []  # (read_idx, cand, window_codes, strand)
-        read_codes = []
-        path_cache = {}
+        all_cands = []  # (read_idx, cand, window_codes, window_lo)
+        path_cache = self._path_cache
         read_codes = [dna.encode(r.seq) for r in reads]
         clusters_per_read = seed_and_cluster_batch(index, read_codes)
         for ri, r in enumerate(reads):
@@ -373,11 +375,7 @@ class BatchedMapper(Mapper):
                 all_cands.append((ri, cand, pc[lo:hi], lo))
 
         if not all_cands:
-            return [
-                gam.Alignment(sequence=r.seq, name=r.name,
-                              quality=bytes(r.qual or b""))
-                for r in reads
-            ]
+            return read_codes, [], np.zeros(0), {}
 
         def _round_up(x, m):
             return ((x + m - 1) // m) * m
@@ -400,93 +398,278 @@ class BatchedMapper(Mapper):
             wlen[i] = len(wcodes)
         scores = np.asarray(sw_scores_xla(qarr, warr, rlen, wlen))
 
-        # per read: dedup identical windows (same haplotype content),
-        # pick winner, MQ from best-vs-second gap
+        # per read: dedup identical windows (same haplotype content)
         best_of = {}
         for i, (ri, cand, wcodes, lo) in enumerate(all_cands):
             key = (cand.strand, hashlib.md5(wcodes.tobytes()).hexdigest())
             d = best_of.setdefault(ri, {})
             if key not in d or scores[i] > d[key][0]:
                 d[key] = (scores[i], i)
+        return read_codes, all_cands, scores, best_of
 
+    @property
+    def _path_cache(self):
+        if not hasattr(self, "_path_cache_d"):
+            self._path_cache_d = {}
+        return self._path_cache_d
+
+    def map_reads(self, reads, max_candidates: int = 8, pad: int = 24):
+        read_codes, all_cands, scores, best_of = self._gather_candidates(
+            reads, max_candidates, pad
+        )
         out = []
         for ri, r in enumerate(reads):
-            a = gam.Alignment(sequence=r.seq, name=r.name,
-                              quality=bytes(r.qual or b""))
             d = best_of.get(ri)
             if not d:
-                out.append(a)
+                out.append(
+                    gam.Alignment(sequence=r.seq, name=r.name,
+                                  quality=bytes(r.qual or b""))
+                )
                 continue
             ranked = sorted(d.values(), key=lambda t: -t[0])
             _score, i = ranked[0]
             second = ranked[1][0] if len(ranked) > 1 else None
-            ri2, cand, wcodes, lo = all_cands[i]
-            codes = read_codes[ri]
-            L = len(codes)
-            # perfect full-length alignments (score == L + both
-            # bonuses) skip the graph DP: locate by exact search and
-            # project the path interval directly
-            if _score == L + 2 * FULL_LENGTH_BONUS:
-                q = dna.revcomp_codes(codes) if cand.strand else codes
-                off = wcodes.tobytes().find(q.tobytes())
-                if off >= 0:
-                    path = _project_path_interval(
-                        graph, cand.path, lo + off, L,
-                        dna.decode(q),
-                    )
-                    if cand.strand:
-                        path = _flip_path(graph, path, None, r.seq)
-                    a.path = path
-                    a.score = int(_score)
-                    a.identity = 1.0
-                    second = ranked[1][0] if len(ranked) > 1 else None
-                    a.mapping_quality = (
-                        60 if second is None else int(
-                            max(0, min(60, round(6.23 * (_score - float(second)))))
-                        )
-                    )
-                    out.append(a)
-                    continue
-            # windows bucket-cached: nearby reads share one window
-            lo_b = (lo // 128) * 128
-            hi_b = -(-(lo + len(wcodes)) // 128) * 128
-            wkey = (cand.path, lo_b, hi_b)
-            win = self._win_cache.get(wkey) if hasattr(self, "_win_cache") else None
-            if win is None:
-                if not hasattr(self, "_win_cache"):
-                    self._win_cache = {}
-                win = build_window(graph, cand.path, lo_b, hi_b)
-                self._win_cache[wkey] = win
-            if win is None:
-                out.append(a)
-                continue
+            out.append(
+                self._finalize(r, read_codes[ri], all_cands[i], _score,
+                               second)
+            )
+        return out
+
+    def _finalize(self, r, codes, cand_rec, _score, second,
+                  mq_override: Optional[int] = None):
+        """Exact host alignment + GAM projection of one read's winning
+        candidate."""
+        from .graph_align import align_to_window_native, build_window
+
+        graph = self.graph
+        a = gam.Alignment(sequence=r.seq, name=r.name,
+                          quality=bytes(r.qual or b""))
+        _ri, cand, wcodes, lo = cand_rec
+        L = len(codes)
+
+        def mq(eff_score: float) -> int:
+            if mq_override is not None:
+                return mq_override
+            if second is None:
+                return 60
+            return int(
+                max(0, min(60, round(6.23 * (eff_score - float(second)))))
+            )
+
+        # perfect full-length alignments (score == L + both bonuses)
+        # skip the graph DP: locate by exact search and project the
+        # path interval directly
+        if _score == L + 2 * FULL_LENGTH_BONUS:
             q = dna.revcomp_codes(codes) if cand.strand else codes
+            off = wcodes.tobytes().find(q.tobytes())
+            if off >= 0:
+                path = _project_path_interval(
+                    graph, cand.path, lo + off, L,
+                    dna.decode(q),
+                )
+                if cand.strand:
+                    path = _flip_path(graph, path, None, r.seq)
+                a.path = path
+                a.score = int(_score)
+                a.identity = 1.0
+                a.mapping_quality = mq(float(_score))
+                return a
+        # windows bucket-cached: nearby reads share one window
+        lo_b = (lo // 128) * 128
+        hi_b = -(-(lo + len(wcodes)) // 128) * 128
+        wkey = (cand.path, lo_b, hi_b)
+        win = self._win_cache.get(wkey) if hasattr(self, "_win_cache") else None
+        if win is None:
+            if not hasattr(self, "_win_cache"):
+                self._win_cache = {}
+            win = build_window(graph, cand.path, lo_b, hi_b)
+            self._win_cache[wkey] = win
+        if win is None:
+            return a
+        q = dna.revcomp_codes(codes) if cand.strand else codes
+        aln = align_to_window_native(q, win)
+        if aln is None:
+            return a
+        eff = aln.score + (
+            FULL_LENGTH_BONUS if aln.read_end == len(codes) else 0
+        )
+        path = _project_walk(
+            graph, win,
+            dna.decode(q),
+            aln,
+        )
+        if cand.strand:
+            path = _flip_path(graph, path, None, r.seq)
+        a.path = path
+        a.score = int(eff)
+        aln_len = len(aln.walk)
+        a.identity = aln.n_matches / aln_len if aln_len else 0.0
+        a.mapping_quality = mq(float(eff))
+        return a
+
+    # ------------------------------------------------------ paired-end
+    def map_read_pairs(
+        self,
+        reads1,
+        reads2,
+        max_candidates: int = 8,
+        pad: int = 24,
+        max_fragment: int = 1000,
+        pair_bonus: float = 6.0,
+        rescue_min_score: Optional[float] = None,
+    ) -> List[gam.Alignment]:
+        """Fragment-aware paired mapping (the giraffe behavior vgan
+        relies on when invoked with two -f files,
+        `src/map_giraffe.cpp:58-88`): mates are scored jointly — the
+        winning candidate *pair* maximizes score1 + score2 + a
+        consistency bonus for (same path, opposite strands, fragment
+        span <= max_fragment; the reference's fragment model bound is
+        MAXLENGTHFRAGMENT=1000, `src/damage.h:43`). A mate with no
+        candidates of its own is rescued by direct alignment against
+        the fragment-sized window next to its partner. Consistent
+        pairs keep MQ from the pair-level score gap, so a read that is
+        ambiguous alone but anchored by its mate maps confidently —
+        the property HaploCart's paired tests depend on. Both mates
+        are flagged read_paired.
+
+        Returns alignments interleaved [r1[0], r2[0], r1[1], ...]."""
+        assert len(reads1) == len(reads2)
+        n = len(reads1)
+        reads = list(reads1) + list(reads2)
+        read_codes, all_cands, scores, best_of = self._gather_candidates(
+            reads, max_candidates, pad
+        )
+
+        def ranked(ri):
+            d = best_of.get(ri)
+            if not d:
+                return []
+            return sorted(d.values(), key=lambda t: -t[0])
+
+        out: List[gam.Alignment] = []
+        for pi in range(n):
+            r1, r2 = reads[pi], reads[pi + n]
+            rank1, rank2 = ranked(pi), ranked(pi + n)
+            a1 = a2 = None
+            if rank1 and rank2:
+                a1, a2 = self._select_pair(
+                    r1, r2, read_codes[pi], read_codes[pi + n],
+                    rank1, rank2, all_cands, max_fragment, pair_bonus,
+                )
+            elif rank1 or rank2:
+                # mate rescue: align the missing mate next to the
+                # mapped one (giraffe's rescue-by-alignment)
+                have, miss = (pi, pi + n) if rank1 else (pi + n, pi)
+                rk = rank1 or rank2
+                sc, i = rk[0]
+                second = rk[1][0] if len(rk) > 1 else None
+                a_have = self._finalize(
+                    reads[have], read_codes[have], all_cands[i], sc, second
+                )
+                a_miss = self._rescue_mate(
+                    reads[miss], read_codes[miss], all_cands[i],
+                    max_fragment, rescue_min_score,
+                )
+                a1, a2 = (a_have, a_miss) if rank1 else (a_miss, a_have)
+            if a1 is None:
+                a1 = gam.Alignment(sequence=r1.seq, name=r1.name,
+                                   quality=bytes(r1.qual or b""))
+            if a2 is None:
+                a2 = gam.Alignment(sequence=r2.seq, name=r2.name,
+                                   quality=bytes(r2.qual or b""))
+            a1.read_paired = True
+            a2.read_paired = True
+            out.append(a1)
+            out.append(a2)
+        return out
+
+    def _select_pair(self, r1, r2, codes1, codes2, rank1, rank2,
+                     all_cands, max_fragment, pair_bonus):
+        """Joint candidate-pair selection over the top candidates of
+        each mate."""
+        TOP = 4
+        best = None  # (joint, consistent, i1, i2, s1, s2)
+        for s1, i1 in rank1[:TOP]:
+            _r1, c1, w1, lo1 = all_cands[i1]
+            for s2, i2 in rank2[:TOP]:
+                _r2, c2, w2, lo2 = all_cands[i2]
+                consistent = (
+                    c1.path == c2.path
+                    and c1.strand != c2.strand
+                    and abs(lo1 - lo2) <= max_fragment
+                )
+                joint = float(s1) + float(s2) + (
+                    pair_bonus if consistent else 0.0
+                )
+                if best is None or joint > best[0]:
+                    best = (joint, consistent, i1, i2, float(s1), float(s2))
+        _joint, consistent, i1, i2, s1, s2 = best
+        # pair-level MQ: gap between the best joint score and the best
+        # joint score using a different candidate for that mate
+        def pair_mq(this_i, rank, s_this, s_other):
+            alt = [s for s, i in rank if i != this_i]
+            if not alt:
+                return 60
+            gap = s_this - alt[0]
+            if consistent:
+                gap += 6.0  # the mate anchors this placement
+            return int(max(0, min(60, round(6.23 * gap))))
+
+        a1 = self._finalize(r1, codes1, all_cands[i1], s1, None,
+                            mq_override=pair_mq(i1, rank1, s1, s2))
+        a2 = self._finalize(r2, codes2, all_cands[i2], s2, None,
+                            mq_override=pair_mq(i2, rank2, s2, s1))
+        return a1, a2
+
+    def _rescue_mate(self, r, codes, mate_cand_rec, max_fragment,
+                     rescue_min_score):
+        """Align an unseeded mate against the fragment window flanking
+        its mapped partner, on the opposite strand first."""
+        from .graph_align import align_to_window_native, build_window
+        from .index import _path_codes
+
+        _ri, mc, mw, mlo = mate_cand_rec
+        graph = self.graph
+        pc = self._path_cache.get(mc.path)
+        if pc is None:
+            pc = _path_codes(graph, mc.path)
+            self._path_cache[mc.path] = pc
+        lo = max(0, mlo - max_fragment)
+        hi = min(len(pc), mlo + len(mw) + max_fragment)
+        a = gam.Alignment(sequence=r.seq, name=r.name,
+                          quality=bytes(r.qual or b""))
+        if hi <= lo:
+            return a
+        win = build_window(graph, mc.path, lo, hi)
+        if win is None:
+            return a
+        L = len(codes)
+        if rescue_min_score is None:
+            rescue_min_score = 0.8 * L  # >= ~90% identity
+        best = None
+        for strand in (not mc.strand, mc.strand):
+            q = dna.revcomp_codes(codes) if strand else codes
             aln = align_to_window_native(q, win)
             if aln is None:
-                out.append(a)
                 continue
             eff = aln.score + (
-                FULL_LENGTH_BONUS if aln.read_end == len(codes) else 0
+                FULL_LENGTH_BONUS if aln.read_end == L else 0
             )
-            path = _project_walk(
-                graph, win,
-                dna.decode(q),
-                aln,
-            )
-            if cand.strand:
-                path = _flip_path(graph, path, None, r.seq)
-            a.path = path
-            a.score = int(eff)
-            aln_len = len(aln.walk)
-            a.identity = aln.n_matches / aln_len if aln_len else 0.0
-            if second is None:
-                a.mapping_quality = 60
-            else:
-                a.mapping_quality = int(
-                    max(0, min(60, round(6.23 * (eff - float(second)))))
-                )
-            out.append(a)
-        return out
+            if best is None or eff > best[0]:
+                best = (eff, strand, aln)
+        if best is None or best[0] < rescue_min_score:
+            return a
+        eff, strand, aln = best
+        q = dna.revcomp_codes(codes) if strand else codes
+        path = _project_walk(graph, win, dna.decode(q), aln)
+        if strand:
+            path = _flip_path(graph, path, None, r.seq)
+        a.path = path
+        a.score = int(eff)
+        aln_len = len(aln.walk)
+        a.identity = aln.n_matches / aln_len if aln_len else 0.0
+        a.mapping_quality = 30  # rescued placement: anchored, not unique
+        return a
 
 
 def seed_and_cluster_batch(

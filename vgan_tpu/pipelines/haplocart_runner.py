@@ -16,7 +16,7 @@ import numpy as np
 
 from ..graph.packed import PackedGraph
 from ..io import fastx, gam
-from ..mapper.giraffe import Mapper
+from ..mapper.giraffe import BatchedMapper as Mapper
 from ..utils.profiling import PROFILER
 from . import haplocart as hc
 
@@ -130,6 +130,32 @@ def get_reads(cfg: HaplocartConfig, fasta_seq: str = "") -> List[fastx.Read]:
     raise ValueError("no input")
 
 
+def needs_fallback_index(fasta_seq: str) -> bool:
+    """>7999 non-ACGT bases in a consensus input trigger the
+    alternative minimizer parameters (k17/w18), mirroring
+    `src/map_giraffe.cpp:44-55`."""
+    nonbase = sum(1 for c in fasta_seq if c not in "ACGTacgt")
+    return nonbase > 7999
+
+
+def get_read_pairs(cfg: HaplocartConfig):
+    """Mate pairs for fragment-aware mapping: two files pair by rank
+    (giraffe `-f a -f b`), interleaved pairs consecutive records
+    (giraffe `-i`, `src/map_giraffe.cpp:58-109`). Returns None if the
+    input is not paired or the mate counts disagree."""
+    if cfg.fq1 and cfg.fq2:
+        r1 = fastx.read_fastq(cfg.fq1)
+        r2 = fastx.read_fastq(cfg.fq2)
+        if len(r1) == len(r2):
+            return r1, r2
+        return None
+    if cfg.fq1 and cfg.interleaved:
+        reads = fastx.read_fastq(cfg.fq1)
+        if len(reads) % 2 == 0:
+            return reads[0::2], reads[1::2]
+    return None
+
+
 def run_sample(
     cfg: HaplocartConfig,
     db: hc.HaplocartDB,
@@ -143,15 +169,23 @@ def run_sample(
         with PROFILER.stage("read_gam"):
             alignments = gam.read_gam(cfg.gamfile)
     else:
-        reads = get_reads(cfg, fasta_seq)
-        with PROFILER.stage("map", items=len(reads)):
-            alignments = mapper.map_reads(reads)
-        if cfg.fq2 or cfg.interleaved:
-            # mates map independently; flag them so duplicate removal
-            # uses the paired (start+end coordinate) rule
-            # (`src/rmdup.cpp:43-67`)
-            for a in alignments:
-                a.read_paired = True
+        pairs = None
+        if (cfg.fq2 or cfg.interleaved) and not fasta_seq:
+            pairs = get_read_pairs(cfg)
+        if pairs is not None:
+            # fragment-aware joint mapping: mates select candidate
+            # pairs together, with rescue (mapper.map_read_pairs);
+            # read_paired is set so duplicate removal uses the paired
+            # start+end coordinate rule (`src/rmdup.cpp:43-67`)
+            with PROFILER.stage("map", items=2 * len(pairs[0])):
+                alignments = mapper.map_read_pairs(pairs[0], pairs[1])
+        else:
+            reads = get_reads(cfg, fasta_seq)
+            with PROFILER.stage("map", items=len(reads)):
+                alignments = mapper.map_reads(reads)
+            if cfg.fq2 or cfg.interleaved:
+                for a in alignments:
+                    a.read_paired = True
     alignments = [a for a in alignments if a.identity != 0]  # vg filter -r 1
     alignments = gamsort(alignments)
     if not alignments:
@@ -212,11 +246,32 @@ def run(cfg: HaplocartConfig) -> List[Tuple[str, str, int]]:
         samples.append((name, ""))
 
     results = []
+    fallback_mapper: List[Optional[Mapper]] = [None]
+
+    def mapper_for(fseq: str) -> Optional[Mapper]:
+        """Noisy consensus inputs switch to the alternative minimizer
+        parameters, mirroring the reference's k17_w18.min fallback when
+        the input has >7999 ambiguous bases
+        (`src/map_giraffe.cpp:44-55`)."""
+        if mapper is None or not fseq:
+            return mapper
+        if not needs_fallback_index(fseq):
+            return mapper
+        if not cfg.quiet:
+            print(
+                "Detecting many ambiguous bases, using alternative"
+                " minimizer index...",
+                file=sys.stderr,
+            )
+        if fallback_mapper[0] is None:
+            fallback_mapper[0] = Mapper(db.graph, k=17, w=18)
+        return fallback_mapper[0]
+
     out = sys.stdout if cfg.output == "/dev/stdout" else open(cfg.output, "a")
     try:
         for idx, (name, fseq) in enumerate(samples):
             pred, n_reads, final_vec = run_sample(
-                cfg, db, mapper, name, fseq, idx
+                cfg, db, mapper_for(fseq), name, fseq, idx
             )
             if cfg.fasta:
                 n_reads = 1  # `src/HaploCart.cpp:427`
