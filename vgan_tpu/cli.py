@@ -182,6 +182,11 @@ def cmd_euka(args: List[str]) -> int:
             k = int(_take(args, i)); i += 2
         elif a == "-w":
             w = int(_take(args, i)); i += 2
+        elif a in ("-S", "--SAFARI"):
+            # parsed but inert, as in the reference (the SAFARI
+            # damage-aware mapper variant never shipped,
+            # `src/Euka.cpp:300-303`)
+            i += 1
         elif a == "-t":
             i += 2
         else:
@@ -274,6 +279,10 @@ def cmd_soibean(args: List[str]) -> int:
         elif a == "-t":
             i += 2
         elif a == "--randStart":
+            i += 1
+        elif a in ("-S", "--SAFARI"):
+            # parsed but inert, as in the reference
+            # (`src/soibean.cpp:395-399`)
             i += 1
         else:
             print(f"[soibean] ignoring unknown flag {a}", file=sys.stderr)

@@ -359,10 +359,15 @@ class BatchedMapper(Mapper):
         path_cache = self._path_cache
         read_codes = [dna.encode(r.seq) for r in reads]
         clusters_per_read = seed_and_cluster_batch(index, read_codes)
+        # haplotype paths share most sequence, so a read's candidates
+        # are usually byte-identical windows: dedup by content BEFORE
+        # scoring so the device scores each distinct window once
+        dedup_keys = []
         for ri, r in enumerate(reads):
             codes = read_codes[ri]
             clusters = clusters_per_read[ri]
             L = len(codes)
+            seen_windows = set()
             for cand in clusters[:max_candidates]:
                 pc = path_cache.get(cand.path)
                 if pc is None:
@@ -372,7 +377,16 @@ class BatchedMapper(Mapper):
                 hi = min(len(pc), cand.diag_hi + L + pad)
                 if hi <= lo:
                     continue
-                all_cands.append((ri, cand, pc[lo:hi], lo))
+                wcodes = pc[lo:hi]
+                key = (
+                    cand.strand,
+                    hashlib.md5(wcodes.tobytes()).hexdigest(),
+                )
+                if key in seen_windows:
+                    continue
+                seen_windows.add(key)
+                all_cands.append((ri, cand, wcodes, lo))
+                dedup_keys.append(key)
 
         if not all_cands:
             return read_codes, [], np.zeros(0), {}
@@ -398,13 +412,10 @@ class BatchedMapper(Mapper):
             wlen[i] = len(wcodes)
         scores = np.asarray(sw_scores_xla(qarr, warr, rlen, wlen))
 
-        # per read: dedup identical windows (same haplotype content)
+        # per read: candidates are already content-unique (dedup above)
         best_of = {}
         for i, (ri, cand, wcodes, lo) in enumerate(all_cands):
-            key = (cand.strand, hashlib.md5(wcodes.tobytes()).hexdigest())
-            d = best_of.setdefault(ri, {})
-            if key not in d or scores[i] > d[key][0]:
-                d[key] = (scores[i], i)
+            best_of.setdefault(ri, {})[dedup_keys[i]] = (scores[i], i)
         return read_codes, all_cands, scores, best_of
 
     @property
