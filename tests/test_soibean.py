@@ -264,3 +264,37 @@ def test_checkpointed_mcmc_resumes(toy_graph, toy_reads, tmp_path):
         checkpoint_every=100, **kw,
     )
     np.testing.assert_allclose(straight.loglike, resumed.loglike)
+
+
+def test_alignment_detail_tsv(toy_graph, toy_reads, tmp_path):
+    """--alignment-detail writes the _MatchInfo.tsv rows
+    (`src/getLCAfromGAM.h:73-77,199-214`): one row per (supported
+    path, matching base), gated by --pathThres."""
+    import os
+
+    out = str(tmp_path / "det")
+    soibean.analyse_reads(toy_graph, toy_reads, detail_path=out)
+    path = out + "_MatchInfo.tsv"
+    assert os.path.exists(path)
+    with open(path) as f:
+        header = f.readline().rstrip("\n").split("\t")
+        assert header == [
+            "Path name", "Read name", "Node sequence", "Index on node",
+            "Node Base", "Read Sequence", "Index on read",
+        ]
+        rows = [l.rstrip("\n").split("\t") for l in f]
+    assert rows  # fixture reads have matching supported bases
+    pathnames = set(toy_graph.path_names)
+    for r in rows:
+        assert r[0] in pathnames
+        s = int(r[3])
+        assert r[2][s] == r[4]  # Node Base is Node sequence[index]
+    # a threshold of 0 means "all paths" (reference default); a
+    # threshold of 1 keeps only single-path nodes
+    out1 = str(tmp_path / "det1")
+    soibean.analyse_reads(toy_graph, toy_reads, detail_path=out1,
+                          path_thres=1)
+    with open(out1 + "_MatchInfo.tsv") as f:
+        f.readline()
+        rows1 = f.readlines()
+    assert len(rows1) <= len(rows)

@@ -249,6 +249,10 @@ def cmd_soibean(args: List[str]) -> int:
     spec_k = None
     penalty = 7
     k, w = 20, 10
+    interleaved = False
+    run_mcmc_flag = True
+    alignment_detail = False
+    path_thres = 0
     i = 0
     while i < len(args):
         a = args[i]
@@ -278,8 +282,26 @@ def cmd_soibean(args: List[str]) -> int:
             penalty = int(_take(args, i)); i += 2
         elif a == "-t":
             i += 2
+        elif a == "-i":
+            interleaved = True; i += 1
         elif a == "--randStart":
             i += 1
+        elif a == "--no-mcmc":
+            run_mcmc_flag = False; i += 1
+        elif a == "--alignment-detail":
+            alignment_detail = True; i += 1
+        elif a == "--pathThres":
+            path_thres = int(_take(args, i)); i += 2
+        elif a in ("--deam5p", "--deam3p"):
+            # accepted but inert even in the reference: the supported-
+            # base damage marginal telescopes to log(0.9999999)
+            # regardless of the profile (`src/getLCAfromGAM.h:340-353`
+            # sums the full post-damage distribution in both branches)
+            _take(args, i); i += 2
+        elif a == "-z":
+            _take(args, i); i += 2  # tmpdir, unused here
+        elif a == "-M":
+            _take(args, i); i += 2  # alternative minimizer index file
         elif a in ("-S", "--SAFARI"):
             # parsed but inert, as in the reference
             # (`src/soibean.cpp:395-399`)
@@ -294,10 +316,23 @@ def cmd_soibean(args: List[str]) -> int:
     else:
         mapper = Mapper(graph, k=k, w=w)
         reads = fastx.read_fastq(fq1)
-        if fq2:
-            reads += fastx.read_fastq(fq2)
-        alignments = mapper.map_reads(reads)
-    stats = sb.analyse_reads(graph, alignments, penalty=penalty)
+        if fq2 and not interleaved:
+            r2 = fastx.read_fastq(fq2)
+            if len(r2) == len(reads):
+                alignments = mapper.map_read_pairs(reads, r2)
+            else:
+                alignments = mapper.map_reads(reads + r2)
+        elif interleaved and len(reads) % 2 == 0:
+            alignments = mapper.map_read_pairs(reads[0::2], reads[1::2])
+        else:
+            alignments = mapper.map_reads(reads)
+    stats = sb.analyse_reads(
+        graph, alignments, penalty=penalty,
+        detail_path=out if alignment_detail else "",
+        path_thres=path_thres,
+    )
+    if not run_mcmc_flag:
+        return 0
     tree = read_newick(
         os.path.join(treedir or os.path.join(sbdir, "tree_dir"),
                      dbprefix + ".new.dnd")

@@ -75,8 +75,16 @@ def analyse_reads(
     graph: PackedGraph,
     alignments: Sequence[Alignment],
     penalty: int = 7,
+    detail_path: str = "",
+    path_thres: int = 0,
 ) -> ReadStats:
-    """Host-side equivalent of analyse_GAM building the stats arrays."""
+    """Host-side equivalent of analyse_GAM building the stats arrays.
+
+    detail_path/path_thres: the --alignment-detail / --pathThres
+    feature (`src/getLCAfromGAM.h:73-77,199-214`): writes
+    <out>_MatchInfo.tsv with one row per (supported path, matching
+    base) for nodes whose path count is <= path_thres (0 = all paths,
+    the reference default "all paths")."""
     qscore = phred.qscore_vec()
     P = graph.n_paths
     support = graph.path_support  # [n_nodes, P] bool
@@ -85,6 +93,13 @@ def analyse_reads(
     path_map = np.zeros((R, P), dtype=np.float64)
     counts25 = np.zeros((R, P, 25), dtype=np.float32)
     names: List[str] = []
+    detail = None
+    if detail_path:
+        detail = open(detail_path + "_MatchInfo.tsv", "w")
+        detail.write(
+            "Path name\tRead name\tNode sequence\tIndex on node\t"
+            "Node Base\tRead Sequence\tIndex on read\n"
+        )
 
     for ridx, a in enumerate(reads):
         names.append(a.name)
@@ -119,6 +134,21 @@ def analyse_reads(
             g = g_all[start : start + size]
             r = r_all[start : start + size]
             L = len(g)
+
+            if detail is not None and i < n_map:
+                n_probpaths = int(sup_rows[i].sum())
+                if path_thres <= 0 or n_probpaths <= path_thres:
+                    gs = graph_seq[start : start + size]
+                    rs = read_seq[start : start + size]
+                    for p in np.flatnonzero(sup_rows[i]):
+                        pname = graph.path_names[int(p)]
+                        for s in range(len(gs)):
+                            if gs[s] == rs[s]:
+                                detail.write(
+                                    f"{pname}\t{a.name}\t{gs}\t{s}\t"
+                                    f"{gs[s]}\t{a.sequence}\t"
+                                    f"{baseIX + s}\n"
+                                )
             # slice-local quality (reference quirk)
             q_idx = np.zeros(L, dtype=np.int64)
             avail = min(L, len(qual))
@@ -168,6 +198,8 @@ def analyse_reads(
         )
         counts25[ridx] = np.einsum("mp,mc->pc", S.astype(np.float32), pc25)
 
+    if detail is not None:
+        detail.close()
     # mostProbPath: exact-equality argmax ties (`src/getLCAfromGAM.h:564-579`)
     if R:
         mx = path_map.max(axis=1, keepdims=True)
