@@ -1,0 +1,123 @@
+"""CLI-level tests for the small tools the reference leaves untested
+(SURVEY.md §4: no keelime/gam2prof/duprm automated tests upstream —
+added here per the test-pyramid implication)."""
+import os
+
+import numpy as np
+import pytest
+
+from vgan_tpu import cli
+from vgan_tpu.io import gam as gamio
+from vgan_tpu.io.gam import Alignment, Edit, Mapping, Path, Position
+
+
+def _aln(name, node, offset, seq="ACGTACGTAC", paired=False, rev=False):
+    return Alignment(
+        name=name,
+        sequence=seq,
+        quality=bytes([30] * len(seq)),
+        path=Path(
+            mappings=[
+                Mapping(
+                    position=Position(node_id=node, offset=offset,
+                                      is_reverse=rev),
+                    edits=[Edit(len(seq), len(seq), "")],
+                    rank=1,
+                )
+            ]
+        ),
+        mapping_quality=60,
+        identity=1.0,
+        read_paired=paired,
+    )
+
+
+def test_duprm_cli(tmp_path, capsys):
+    """duprm removes same-start duplicates from a sorted GAM
+    (`src/rmdup.cpp:20-124`)."""
+    alns = [
+        _aln("a", 5, 0),
+        _aln("b", 5, 0),  # duplicate of a (same start coordinate)
+        _aln("c", 5, 3),
+        _aln("d", 7, 0),
+        _aln("e", 7, 0),  # duplicate of d
+    ]
+    src = str(tmp_path / "in.gam")
+    dst = str(tmp_path / "out.gam")
+    gamio.write_gam(src, alns)
+    rc = cli.main(["duprm", src, dst])
+    assert rc == 0
+    kept = gamio.read_gam(dst)
+    assert [a.name for a in kept] == ["a", "c", "d"]
+
+
+def test_duprm_roundtrip_preserves_fields(tmp_path):
+    alns = [_aln("x", 3, 1, rev=True)]
+    src = str(tmp_path / "one.gam")
+    dst = str(tmp_path / "oneout.gam")
+    gamio.write_gam(src, alns)
+    assert cli.main(["duprm", src, dst]) == 0
+    out = gamio.read_gam(dst)
+    assert len(out) == 1
+    a = out[0]
+    assert a.name == "x"
+    assert a.path.mappings[0].position.is_reverse
+    assert a.path.mappings[0].position.offset == 1
+
+
+@pytest.fixture
+def tiny_euka_db(tmp_path):
+    """Materialize a one-taxon euka-format DB on disk: graph.npz via
+    build-db plus hand-written .clade/.bins sidecars."""
+    ref = "/root/reference/test/reconstructInputSeq/target_graph.gfa"
+    d = tmp_path / "edb"
+    d.mkdir()
+    assert cli.main(["build-db", ref, str(d)]) == 0
+    os.rename(d / "graph.npz", d / "toy_db.npz")
+    # one clade covering all nodes (id name pairwise_dist n_paths lo hi)
+    (d / "toy_db.clade").write_text("0 ToyTaxon 0.03 5 1 28\n")
+    # 4 bins with entropy above/below threshold
+    bins = "ToyTaxon " + " ".join(
+        f"{lo}.0 {hi}.0 1.5" for lo, hi in ((1, 7), (8, 14), (15, 21), (22, 28))
+    )
+    (d / "toy_db.bins").write_text(bins + "\n")
+    return d
+
+
+def test_gam2prof_cli(tiny_euka_db, tmp_path):
+    """gam2prof replays a GAM against the bins and writes per-clade
+    5p/3p profile + count files (`src/gam2prof.cpp:29-228`)."""
+    from vgan_tpu.graph.packed import PackedGraph
+    from vgan_tpu.io import fastx
+    from vgan_tpu.mapper.giraffe import BatchedMapper
+
+    graph = PackedGraph.load(str(tiny_euka_db / "toy_db.npz"))
+    mapper = BatchedMapper(graph, k=20, w=10)
+    reads = fastx.read_fastq(
+        "/root/reference/test/reconstructInputSeq/test_reads.fq"
+    )
+    alns = [a for a in mapper.map_reads(reads) if a.identity != 0]
+    assert alns
+    gampath = str(tmp_path / "replay.gam")
+    gamio.write_gam(gampath, alns)
+    out = str(tmp_path / "g2p")
+    rc = cli.main(
+        ["gam2prof", "--euka_dir", str(tiny_euka_db), "--dbprefix",
+         "toy_db", "-g", gampath, "-o", out]
+    )
+    assert rc == 0
+    prof = out + "_ToyTaxon.prof"
+    assert os.path.exists(prof), os.listdir(tmp_path)
+    with open(prof) as f:
+        header = f.readline().split()
+    # 12-column substitution-rate schema + Position
+    # (`src/baseshift.cpp:92-118`)
+    assert len(header) == 13
+    assert "C>T" in header
+    assert os.path.exists(out + "_ToyTaxon.all")  # raw counts file
+
+
+def test_version_cli(capsys):
+    assert cli.main(["version"]) == 0
+    outp = capsys.readouterr().out
+    assert outp.startswith("v3")
