@@ -189,6 +189,10 @@ def cmd_euka(args: List[str]) -> int:
             i += 1
         elif a == "-t":
             i += 2
+        elif a == "--profile":
+            from .utils import profiling
+
+            profiling.enable(); i += 1
         else:
             print(f"[euka] ignoring unknown flag {a}", file=sys.stderr)
             i += 1
@@ -201,19 +205,24 @@ def cmd_euka(args: List[str]) -> int:
     chunks = ek.load_clade_chunks(prefix + ".bins")
     graph = _load_graph(prefix)
     dm = DamageModel.from_profiles(deam5p or None, deam3p or None)
+    from .utils.profiling import PROFILER
+
     if gamfile:
-        alignments = gamio.read_gam(gamfile)
+        with PROFILER.stage("read_gam"):
+            alignments = gamio.read_gam(gamfile)
     else:
         mapper = Mapper(graph, k=k, w=w)
         reads = fastx.read_fastq(fq1)
         if fq2:
             reads += fastx.read_fastq(fq2)
-        alignments = mapper.map_reads(reads)
+        with PROFILER.stage("map", items=len(reads)):
+            alignments = mapper.map_reads(reads)
     scorer = ek.EukaScorer(graph, clades, chunks, damage=dm, length_to_prof=ltp)
-    res = scorer.score(
-        alignments, min_mq=min_mq, min_frag=min_frag, min_bins=min_bins,
-        max_bins=max_bins, entropy_threshold=entropy,
-    )
+    with PROFILER.stage("score", items=len(alignments)):
+        res = scorer.score(
+            alignments, min_mq=min_mq, min_frag=min_frag, min_bins=min_bins,
+            max_bins=max_bins, entropy_threshold=entropy,
+        )
     if out_group:
         names = [c.name for c in clades]
         if out_group not in names:
@@ -222,12 +231,14 @@ def cmd_euka(args: List[str]) -> int:
         if gi not in res.detected:
             # outgroup is always reported (`src/Euka.cpp:560-582,619-663`)
             res.detected.append(gi)
-    mcmc = (
-        abundance_mcmc_from_result(res, n_iter=n_iter, burnin=burnin)
-        if run_mcmc_flag
-        else None
-    )
+    with PROFILER.stage("mcmc"):
+        mcmc = (
+            abundance_mcmc_from_result(res, n_iter=n_iter, burnin=burnin)
+            if run_mcmc_flag
+            else None
+        )
     write_outputs(res, out, mcmc, length_to_prof=ltp, out_frag=out_frag)
+    PROFILER.report()
     return 0
 
 
@@ -306,32 +317,42 @@ def cmd_soibean(args: List[str]) -> int:
             # parsed but inert, as in the reference
             # (`src/soibean.cpp:395-399`)
             i += 1
+        elif a == "--profile":
+            from .utils import profiling
+
+            profiling.enable(); i += 1
         else:
             print(f"[soibean] ignoring unknown flag {a}", file=sys.stderr)
             i += 1
     prefix = os.path.join(sbdir, dbprefix)
     graph = _load_graph(prefix)
+    from .utils.profiling import PROFILER
+
     if gamfile:
-        alignments = gamio.read_gam(gamfile)
+        with PROFILER.stage("read_gam"):
+            alignments = gamio.read_gam(gamfile)
     else:
         mapper = Mapper(graph, k=k, w=w)
         reads = fastx.read_fastq(fq1)
-        if fq2 and not interleaved:
-            r2 = fastx.read_fastq(fq2)
-            if len(r2) == len(reads):
-                alignments = mapper.map_read_pairs(reads, r2)
+        with PROFILER.stage("map", items=len(reads)):
+            if fq2 and not interleaved:
+                r2 = fastx.read_fastq(fq2)
+                if len(r2) == len(reads):
+                    alignments = mapper.map_read_pairs(reads, r2)
+                else:
+                    alignments = mapper.map_reads(reads + r2)
+            elif interleaved and len(reads) % 2 == 0:
+                alignments = mapper.map_read_pairs(reads[0::2], reads[1::2])
             else:
-                alignments = mapper.map_reads(reads + r2)
-        elif interleaved and len(reads) % 2 == 0:
-            alignments = mapper.map_read_pairs(reads[0::2], reads[1::2])
-        else:
-            alignments = mapper.map_reads(reads)
-    stats = sb.analyse_reads(
-        graph, alignments, penalty=penalty,
-        detail_path=out if alignment_detail else "",
-        path_thres=path_thres,
-    )
+                alignments = mapper.map_reads(reads)
+    with PROFILER.stage("analyse", items=len(alignments)):
+        stats = sb.analyse_reads(
+            graph, alignments, penalty=penalty,
+            detail_path=out if alignment_detail else "",
+            path_thres=path_thres,
+        )
     if not run_mcmc_flag:
+        PROFILER.report()
         return 0
     tree = read_newick(
         os.path.join(treedir or os.path.join(sbdir, "tree_dir"),
@@ -340,10 +361,12 @@ def cmd_soibean(args: List[str]) -> int:
     freqs = sb.load_base_freqs(
         os.path.join(sbdir, "soibean_db.baseFreq"), dbprefix
     )
-    run_soibean_inference(
-        tree, stats, graph.path_names, freqs, out,
-        n_iter=n_iter, burnin=burnin, chains=chains, specified_k=spec_k,
-    )
+    with PROFILER.stage("tree_mcmc"):
+        run_soibean_inference(
+            tree, stats, graph.path_names, freqs, out,
+            n_iter=n_iter, burnin=burnin, chains=chains, specified_k=spec_k,
+        )
+    PROFILER.report()
     return 0
 
 

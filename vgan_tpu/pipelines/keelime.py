@@ -1443,6 +1443,10 @@ def main_keelime(args: List[str]) -> int:
             use_remaining = True; i += 1
         elif a == "-t":
             i += 2
+        elif a == "--profile":
+            from ..utils import profiling
+
+            profiling.enable(); i += 1
         else:
             print(f"[keelime] ignoring unknown flag {a}", file=sys.stderr)
             i += 1
@@ -1454,24 +1458,33 @@ def main_keelime(args: List[str]) -> int:
     specified_deam = bool(deam5p or deam3p)
     if specified_deam:
         damage = DamageModel.from_profiles(deam5p or None, deam3p or None)
+    from ..utils.profiling import PROFILER
+
     if gamfile:
-        alignments = gamio.read_gam(gamfile)
+        with PROFILER.stage("read_gam"):
+            alignments = gamio.read_gam(gamfile)
     else:
         mapper = Mapper(graph)
-        alignments = mapper.map_reads(fastx.read_fastq(fq1))
-    frags = analyse_gam(graph, alignments, damage=damage)
-    contigs = assemble(
-        graph, frags, ref_path=ref_path, len_min=len_min,
-        score_min=score_min, mode=mode, specified_deam=specified_deam,
-    )
-    fasta, scoring, counts, empty = consensus(
-        graph, contigs, ref_path=ref_path, min_coverage=min_cov,
-        unknown_ref=unknown_ref, use_remaining=use_remaining,
-    )
+        reads = fastx.read_fastq(fq1)
+        with PROFILER.stage("map", items=len(reads)):
+            alignments = mapper.map_reads(reads)
+    with PROFILER.stage("analyse", items=len(alignments)):
+        frags = analyse_gam(graph, alignments, damage=damage)
+    with PROFILER.stage("assemble", items=len(frags)):
+        contigs = assemble(
+            graph, frags, ref_path=ref_path, len_min=len_min,
+            score_min=score_min, mode=mode, specified_deam=specified_deam,
+        )
+    with PROFILER.stage("consensus"):
+        fasta, scoring, counts, empty = consensus(
+            graph, contigs, ref_path=ref_path, min_coverage=min_cov,
+            unknown_ref=unknown_ref, use_remaining=use_remaining,
+        )
     write_outputs(out, contigs, fasta, scoring, counts, empty)
     print(
         f"[keelime] {len(frags)} reads -> {len(contigs)} contigs, "
         f"consensus {len(fasta)}bp",
         file=sys.stderr,
     )
+    PROFILER.report()
     return 0
