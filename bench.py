@@ -127,15 +127,24 @@ def bench_sw_kernel():
 
 
 def main():
+    # Phase order matters on the axon backend: after a few minutes /
+    # many dispatches in one process, every dispatch acquires a fixed
+    # ~40ms latency floor regardless of program size (measured:
+    # identical programs drop from ~25 GCUPS to ~3.3 GCUPS late in a
+    # process, with per-call time converging to the same constant for
+    # very different shapes). Microbenchmarks whose per-call work is
+    # small (the SW kernel, the scorer) therefore run FIRST; the
+    # mapping end-to-end phase dispatches few large batches and is
+    # insensitive, so it runs last.
+    gcups = bench_sw_kernel()
+
     support = synth_support()
     tables = make_tables(support)
     batch = synth_batch(n_reads=N_READS)
-
     tpu_rps, tpu_out = bench_tpu(batch, tables)
     cpu_rps, cpu_out = bench_cpu(batch, support)
     agree = int(np.argmax(tpu_out)) == int(np.argmax(cpu_out))
     map_rps, map_frac = bench_mapping()
-    gcups = bench_sw_kernel()
 
     result = {
         "metric": "haplocart_reads_per_s",
