@@ -1,0 +1,108 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §2.9 / §4): sharded programs must agree with their
+single-device twins bit-for-bit (same reduction structure)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vgan_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    shard_euka_batch,
+    shard_tables,
+    sharded_euka_score_fn,
+    sharded_score_fn,
+)
+from vgan_tpu.pipelines.haplocart_device import (
+    make_tables,
+    score_batch,
+    synth_batch,
+    synth_support,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8
+    return make_mesh(n_devices=8, dp=4, tp=2)
+
+
+def test_sharded_haplocart_matches_single_device(mesh8):
+    support = synth_support(n_nodes=256, n_paths=128)
+    tables = make_tables(support)
+    batch = synth_batch(n_reads=32, n_nodes=256)
+    want = np.asarray(score_batch(batch, tables))
+    step = sharded_score_fn(mesh8)
+    got = np.asarray(
+        step(shard_batch(batch, mesh8), shard_tables(tables, mesh8))
+    )[: len(want)]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    assert int(np.argmax(got)) == int(np.argmax(want))
+
+
+def test_sharded_euka_scorer_matches_single_device(mesh8):
+    from vgan_tpu.models.damage import DamageModel
+    from vgan_tpu.models import phred
+    from vgan_tpu.pipelines.euka import (
+        BASE_FREQ_LOG, T_T_RATIO, _score_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    B, L = 37, 64  # deliberately not divisible by 8 (tests padding)
+    g = rng.integers(0, 4, size=(B, L)).astype(np.int32)
+    r = np.where(rng.random((B, L)) < 0.9, g,
+                 rng.integers(0, 4, size=(B, L))).astype(np.int32)
+    q = rng.integers(20, 40, size=(B, L)).astype(np.int32)
+    n_pos = np.tile(np.arange(L, dtype=np.int32), (B, 1))
+    L_read = np.full(B, L, np.int32)
+    pair_dist = np.full(B, 0.05)
+    valid = np.ones((B, L), dtype=bool)
+
+    dm = DamageModel.none()
+    sub5p, sub3p = dm.tables(jnp.float64)
+    qtab = jnp.asarray(phred.qscore_vec())
+    bfreq = jnp.asarray(BASE_FREQ_LOG)
+    ttr = jnp.asarray(T_T_RATIO)
+
+    want1, want2 = _score_batch(
+        g, r, q, n_pos, L_read, pair_dist, valid,
+        sub5p, sub3p, qtab, bfreq, ttr,
+    )
+    step = sharded_euka_score_fn(mesh8)
+    (gs, rs, qs, ns, Ls, ps, vs), B0 = shard_euka_batch(
+        mesh8, g, r, q, n_pos, L_read, pair_dist, valid
+    )
+    got1, got2 = step(gs, rs, qs, ns, Ls, ps, vs, sub5p, sub3p,
+                      qtab, bfreq, ttr)
+    np.testing.assert_allclose(np.asarray(got1)[:B0], np.asarray(want1),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(got2)[:B0], np.asarray(want2),
+                               rtol=1e-12)
+
+
+def test_sharded_euka_output_sharding(mesh8):
+    """Outputs stay dp-sharded (no gather happens on device)."""
+    from vgan_tpu.models.damage import DamageModel
+    from vgan_tpu.models import phred
+    from vgan_tpu.pipelines.euka import BASE_FREQ_LOG, T_T_RATIO
+
+    rng = np.random.default_rng(1)
+    B, L = 16, 32
+    arrays = (
+        rng.integers(0, 4, size=(B, L)).astype(np.int32),
+        rng.integers(0, 4, size=(B, L)).astype(np.int32),
+        rng.integers(20, 40, size=(B, L)).astype(np.int32),
+        np.tile(np.arange(L, dtype=np.int32), (B, 1)),
+        np.full(B, L, np.int32),
+        np.full(B, 0.05),
+        np.ones((B, L), dtype=bool),
+    )
+    dm = DamageModel.none()
+    sub5p, sub3p = dm.tables(jnp.float64)
+    step = sharded_euka_score_fn(mesh8)
+    sharded, B0 = shard_euka_batch(mesh8, *arrays)
+    out1, _ = step(*sharded, sub5p, sub3p,
+                   jnp.asarray(phred.qscore_vec()),
+                   jnp.asarray(BASE_FREQ_LOG), jnp.asarray(T_T_RATIO))
+    assert len(out1.sharding.device_set) == 8

@@ -117,3 +117,40 @@ def shard_tables(t: HcTables, mesh: Mesh) -> HcTables:
         bg=jax.device_put(t.bg, rep),
         support=jax.device_put(support, NamedSharding(mesh, P(None, "tp"))),
     )
+
+
+def sharded_euka_score_fn(mesh: Mesh):
+    """Data-parallel euka two-model scorer over the dp axis
+    (the TPU equivalent of euka's OpenMP read loop,
+    `src/readGAM_Euka.h:41-649` / SURVEY §2.9): the [B, L] aligned
+    batch shards over dp, damage/quality tables replicate, and the
+    per-read (in_clade, not_in_clade) outputs stay dp-sharded — no
+    collective needed until the host-side detection filter."""
+    from ..pipelines.euka import _score_batch_impl
+
+    dp_b = NamedSharding(mesh, P(("dp", "tp")))
+    dp_bl = NamedSharding(mesh, P(("dp", "tp"), None))
+    rep = NamedSharding(mesh, P())
+    in_sh = (dp_bl,) * 4 + (dp_b, dp_b, dp_bl) + (rep,) * 5
+    out_sh = (dp_b, dp_b)
+    return jax.jit(_score_batch_impl, in_shardings=in_sh,
+                   out_shardings=out_sh)
+
+
+def shard_euka_batch(mesh: Mesh, *arrays):
+    """Pad the read axis to the mesh size and place with dp sharding.
+    arrays: (g, r, q, n_pos [B,L]...), (L_read, pair_dist [B]),
+    (valid [B,L]). Returns the padded arrays + original B."""
+    n = mesh.size
+    B = arrays[0].shape[0]
+    pad = (-B) % n
+    out = []
+    for x in arrays:
+        if pad:
+            # edge-pad: padded rows duplicate a real read (safe for
+            # the damage-length gather) and are sliced off by B
+            width = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            x = jnp.pad(x, width, mode="edge")
+        spec = P(("dp", "tp")) if x.ndim == 1 else P(("dp", "tp"), None)
+        out.append(jax.device_put(x, NamedSharding(mesh, spec)))
+    return out, B

@@ -107,8 +107,7 @@ def load_clade_chunks(path: str) -> List[List[Tuple[int, int, float]]]:
 # ---------------------------------------------------------------------------
 # device scorer
 # ---------------------------------------------------------------------------
-@partial(jax.jit, static_argnames=())
-def _score_batch(
+def _score_batch_impl(
     g, r, q, n_pos, L_read, pair_dist, valid, sub5p, sub3p, qtab, bfreq, ttr
 ):
     """Vectorized two-model per-base scorer.
@@ -182,6 +181,9 @@ def _score_batch(
     m1 = jnp.where(valid, m1, 0.0)
     m2 = jnp.where(valid, m2, 0.0)
     return m1.sum(axis=1), m2.sum(axis=1)
+
+
+_score_batch = jax.jit(_score_batch_impl)
 
 
 @dataclass
