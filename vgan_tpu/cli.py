@@ -213,10 +213,14 @@ def cmd_euka(args: List[str]) -> int:
     else:
         mapper = Mapper(graph, k=k, w=w)
         reads = fastx.read_fastq(fq1)
-        if fq2:
-            reads += fastx.read_fastq(fq2)
-        with PROFILER.stage("map", items=len(reads)):
-            alignments = mapper.map_reads(reads)
+        r2 = fastx.read_fastq(fq2) if fq2 else []
+        with PROFILER.stage("map", items=len(reads) + len(r2)):
+            if r2 and not interleaved and len(r2) == len(reads):
+                alignments = mapper.map_read_pairs(reads, r2)
+            elif interleaved and not r2 and len(reads) % 2 == 0:
+                alignments = mapper.map_read_pairs(reads[0::2], reads[1::2])
+            else:
+                alignments = mapper.map_reads(reads + r2)
     scorer = ek.EukaScorer(graph, clades, chunks, damage=dm, length_to_prof=ltp)
     with PROFILER.stage("score", items=len(alignments)):
         res = scorer.score(

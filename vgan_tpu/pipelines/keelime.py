@@ -1401,7 +1401,7 @@ def main_keelime(args: List[str]) -> int:
 
     dbprefix = ""
     dbdir = ""
-    fq1 = gamfile = ""
+    fq1 = fq2 = gamfile = ""
     out = "keelime_output"
     ref_path_name = ""
     min_cov = 1
@@ -1419,6 +1419,8 @@ def main_keelime(args: List[str]) -> int:
             dbdir = _take(args, i); i += 2
         elif a == "-fq1":
             fq1 = _take(args, i); i += 2
+        elif a == "-fq2":
+            fq2 = _take(args, i); i += 2
         elif a == "-g":
             gamfile = _take(args, i); i += 2
         elif a == "-o":
@@ -1466,8 +1468,12 @@ def main_keelime(args: List[str]) -> int:
     else:
         mapper = Mapper(graph)
         reads = fastx.read_fastq(fq1)
-        with PROFILER.stage("map", items=len(reads)):
-            alignments = mapper.map_reads(reads)
+        r2 = fastx.read_fastq(fq2) if fq2 else []
+        with PROFILER.stage("map", items=len(reads) + len(r2)):
+            if r2 and len(r2) == len(reads):
+                alignments = mapper.map_read_pairs(reads, r2)
+            else:
+                alignments = mapper.map_reads(reads + r2)
     with PROFILER.stage("analyse", items=len(alignments)):
         frags = analyse_gam(graph, alignments, damage=damage)
     with PROFILER.stage("assemble", items=len(frags)):
