@@ -344,3 +344,59 @@ def test_analyse_gam_prob_rows(synthetic_world):
         np.testing.assert_allclose(s, 1.0 - q / 4, atol=1e-12)
         assert f.counts.sum(axis=1).max() == 1
         assert not f.cut[0]
+
+
+def test_assemble_damage_mode_rymer_path(synthetic_world):
+    """specified_deam=True routes overlap scoring through RYmer
+    sequences (find_overlaps/mergeAllPaths use f.ry,
+    src/assembly.cpp:677-683, 1217-1218) — C->T damaged read ends
+    still assemble."""
+    graph, frags = synthetic_world
+    # simulate 5' C->T damage on the first 3 bases of each read
+    import copy
+
+    damaged = []
+    for f in frags:
+        f2 = copy.deepcopy(f)
+        s = list(f2.seq)
+        for i in range(3):
+            if s[i] == "C":
+                s[i] = "T"
+        f2.seq = "".join(s)
+        damaged.append(f2)
+    contigs = kl.assemble(graph, damaged, len_min=5, score_min=10,
+                          specified_deam=True)
+    assert len(contigs) >= 1
+    total = sum(len(c.seq) for c in contigs)
+    assert total >= 40
+    # ry strings were populated with the 5+5 conversion
+    assert all(set(c.ry[:5]) <= set("RYN-S") for c in contigs if len(c.ry) >= 10)
+
+
+def test_merge_overlapping_contigs_n_bridge():
+    """Two contigs sharing exactly one node merge across it with an
+    N-bridge sized by the unmatched node interior
+    (tryMergeContigs single-common-node case, src/assembly.cpp:2763-2827)."""
+    node_seq = "AAACCCGGGTTTACGTACGT"  # 20bp shared node
+    # findMatch aligns full-length windows, so the bridge only fires
+    # when the contig ends coincide with the node's prefix/suffix:
+    # c1 = node prefix (6bp), c2 = node suffix (6bp) -> 20-12 = 8 Ns.
+    # A high score gate (len_min=50) keeps the overlap path from
+    # qualifying, which is what routes tryMergeContigs into the
+    # single-common-node branch (src/assembly.cpp:2763-2827).
+    c1 = _mk_contig(node_seq[:6], [1, 2])
+    c2 = _mk_contig(node_seq[-6:], [2, 3])
+    c1.ry = kl.to_rymer(c1.seq)
+    c2.ry = kl.to_rymer(c2.seq)
+    nmap = {2: (node_seq, len(node_seq), 1)}
+    out = kl.merge_overlapping_contigs([c1, c2], 1, nmap, "normal", 50.0)
+    assert len(out) == 1
+    merged = out[0]
+    assert merged.seq == node_seq[:6] + "N" * 8 + node_seq[-6:]
+    # N rows are flagged empty and zero-count
+    i0 = 6
+    assert merged.empty[i0 : i0 + 8].all()
+    assert (merged.counts[i0 : i0 + 8] == 0).all()
+    # node ids concatenate WITHOUT dedup in the N-bridge merge
+    # (reference quirk, src/assembly.cpp:3208-3209)
+    assert merged.node_ids == [1, 2, 2, 3]
