@@ -697,21 +697,11 @@ def seed_and_cluster_batch(
     Returns per-read lists of Candidates (same semantics as
     seed_and_cluster)."""
     n_reads = len(read_codes_list)
-    pos_all, hash_all, rc_all, rid_all, len_all = [], [], [], [], []
-    for ri, codes in enumerate(read_codes_list):
-        p, h, rc = mz.all_kmers(codes, index.k)
-        pos_all.append(p)
-        hash_all.append(h)
-        rc_all.append(rc)
-        rid_all.append(np.full(len(p), ri, dtype=np.int64))
-        len_all.append(np.full(len(p), len(codes), dtype=np.int64))
-    if not pos_all:
+    rid, pos, hashes, rrc = mz.all_kmers_batch(read_codes_list, index.k)
+    if not len(pos):
         return [[] for _ in range(n_reads)]
-    pos = np.concatenate(pos_all)
-    hashes = np.concatenate(hash_all)
-    rrc = np.concatenate(rc_all)
-    rid = np.concatenate(rid_all)
-    rlen = np.concatenate(len_all)
+    read_lens = np.array([len(c) for c in read_codes_list], dtype=np.int64)
+    rlen = read_lens[rid]
 
     idx = np.searchsorted(index.hashes, hashes)
     idx = np.minimum(idx, len(index.hashes) - 1)

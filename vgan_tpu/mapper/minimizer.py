@@ -78,6 +78,57 @@ def all_kmers(codes: np.ndarray, k: int):
     return sel.astype(np.int64), h[sel], is_rc[sel]
 
 
+def all_kmers_batch(read_codes_list, k: int):
+    """Batched all_kmers over a whole read list in one numpy pass:
+    reads are concatenated with (k-1)-long invalid separators so no
+    window spans a read boundary. Returns (read_idx, local_pos,
+    hashes, is_rc) across all reads — replaces len(reads) separate
+    all_kmers calls (the per-read call overhead dominated host seeding
+    time)."""
+    n_reads = len(read_codes_list)
+    if n_reads == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.uint64), np.zeros(0, bool))
+    sep = np.full(k - 1, 4, dtype=np.uint8)
+    parts = []
+    offs = np.zeros(n_reads, dtype=np.int64)
+    pos0 = 0
+    for ri, c in enumerate(read_codes_list):
+        offs[ri] = pos0
+        parts.append(np.asarray(c, dtype=np.uint8))
+        parts.append(sep)
+        pos0 += len(c) + k - 1
+    cat = np.concatenate(parts)
+    n = len(cat)
+    if n < k:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.uint64), np.zeros(0, bool))
+    # chunked rolling pack to bound the [rows, k] window matrix
+    sel_all, h_all, rc_all = [], [], []
+    CHUNK = 1 << 18
+    total_rows = n - k + 1
+    for r0 in range(0, total_rows, CHUNK):
+        r1 = min(total_rows, r0 + CHUNK)
+        fwd, valid = kmer_codes(cat[r0 : r1 + k - 1], k)
+        sel = np.nonzero(valid)[0]
+        if not len(sel):
+            continue
+        fwd = fwd[sel]
+        rc = revcomp_code(fwd, k)
+        canon = np.minimum(fwd, rc)
+        sel_all.append(sel + r0)
+        h_all.append(splitmix64(canon))
+        rc_all.append(rc < fwd)
+    if not sel_all:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.uint64), np.zeros(0, bool))
+    sel = np.concatenate(sel_all)
+    ridx = np.searchsorted(offs, sel, side="right") - 1
+    local = sel - offs[ridx]
+    return (ridx.astype(np.int64), local.astype(np.int64),
+            np.concatenate(h_all), np.concatenate(rc_all))
+
+
 def minimizers(
     codes: np.ndarray, k: int, w: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
