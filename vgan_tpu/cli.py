@@ -92,7 +92,11 @@ def cmd_haplocart(args: List[str]) -> int:
         elif a == "--minw":
             cfg.w = int(_take(args, i)); i += 2
         elif a == "-w":
-            cfg.webapp = True; i += 1  # webapp HTML output
+            # webapp HTML output; silences stderr like the reference
+            # (`src/HaploCart.cpp:196-201` nulls cerr's rdbuf)
+            cfg.webapp = True
+            cfg.quiet = True
+            i += 1
         elif a == "-t":
             i += 2  # thread count accepted for compatibility
         elif a == "--profile":
@@ -268,6 +272,7 @@ def cmd_soibean(args: List[str]) -> int:
     run_mcmc_flag = True
     alignment_detail = False
     path_thres = 0
+    rand_start = False
     i = 0
     while i < len(args):
         a = args[i]
@@ -300,7 +305,7 @@ def cmd_soibean(args: List[str]) -> int:
         elif a == "-i":
             interleaved = True; i += 1
         elif a == "--randStart":
-            i += 1
+            rand_start = True; i += 1
         elif a == "--no-mcmc":
             run_mcmc_flag = False; i += 1
         elif a == "--alignment-detail":
@@ -369,6 +374,7 @@ def cmd_soibean(args: List[str]) -> int:
         run_soibean_inference(
             tree, stats, graph.path_names, freqs, out,
             n_iter=n_iter, burnin=burnin, chains=chains, specified_k=spec_k,
+            rand_start=rand_start,
         )
     PROFILER.report()
     return 0

@@ -143,6 +143,7 @@ def run_soibean_inference(
     specified_k: Optional[int] = None,
     seed: int = 0,
     write_files: bool = True,
+    rand_start: bool = False,
 ) -> Dict[int, List[ChainSummary]]:
     """Full inference loop over k = 1..#signature nodes x chains
     (`src/soibean.cpp:745-940`)."""
@@ -186,7 +187,12 @@ def run_soibean_inference(
         from ..infer.tree_mcmc import run_tree_mcmc_chains
 
         srcs = np.zeros((chains, k), dtype=np.int32)
-        srcs[0] = np.array(sig_nodes[: i + 1], dtype=np.int32)
+        if rand_start:
+            # --randStart: every chain starts at random tree nodes
+            # instead of the signature nodes (`src/soibean.cpp:806-811`)
+            srcs[0] = rng.integers(0, tree.n_nodes, size=k)
+        else:
+            srcs[0] = np.array(sig_nodes[: i + 1], dtype=np.int32)
         for chain in range(1, chains):
             srcs[chain] = rng.integers(0, tree.n_nodes, size=k)
         traces = run_tree_mcmc_chains(
