@@ -400,3 +400,48 @@ def test_merge_overlapping_contigs_n_bridge():
     # node ids concatenate WITHOUT dedup in the N-bridge merge
     # (reference quirk, src/assembly.cpp:3208-3209)
     assert merged.node_ids == [1, 2, 2, 3]
+
+
+def test_device_overlap_scores_match_host():
+    """The device batch scorer returns the exact (length, score) of the
+    sequential host scorer for every pair (SURVEY §7.8 kernel)."""
+    from vgan_tpu.pipelines.keelime_device import overlap_scores_batch
+
+    rng = np.random.default_rng(13)
+    alpha = np.array(list("ACGTRYN-"))
+    pairs = []
+    for _ in range(60):
+        la = int(rng.integers(8, 50))
+        lb = int(rng.integers(5, 50))
+        pairs.append(
+            ("".join(rng.choice(alpha, la)), "".join(rng.choice(alpha, lb)))
+        )
+    # add true suffix/prefix overlaps
+    for _ in range(20):
+        core = "".join(rng.choice(np.array(list("ACGT")), 20))
+        pairs.append(
+            ("".join(rng.choice(alpha, 10)) + core,
+             core + "".join(rng.choice(alpha, 10)))
+        )
+    got = overlap_scores_batch(pairs, 3, 5.0, chunk=32)
+    for (a, b), (gl, gs) in zip(pairs, got):
+        wl, ws = kl.overlap_score(a, b, 3, 5.0)
+        assert (gl, gs) == (wl, ws), (a, b)
+
+
+def test_find_overlaps_device_path(synthetic_world, monkeypatch):
+    """Forcing the device path through find_overlaps yields the same
+    DAG as the host path."""
+    from vgan_tpu.pipelines import keelime as klmod
+
+    graph, frags = synthetic_world
+    depths = kl.node_depths(graph, 1, 1)
+    frags = kl.sort_frags(frags, depths)
+    for f in frags:
+        f.ry = kl.to_rymer(f.seq)
+    density, _ = kl.initial_overlap(frags, depths)
+    g_host, om_host = kl.find_overlaps(frags, 5, 10, density, False, 5)
+    monkeypatch.setattr(klmod, "DEVICE_OVERLAP_MIN_PAIRS", 1)
+    g_dev, om_dev = kl.find_overlaps(frags, 5, 10, density, False, 5)
+    assert om_host == om_dev
+    assert [dict(d) for d in g_host.adj] == [dict(d) for d in g_dev.adj]

@@ -499,6 +499,9 @@ class GraphAss:
             self.in_degree[v] += 1
 
 
+DEVICE_OVERLAP_MIN_PAIRS = 256  # below this the host scorer is faster
+
+
 def find_overlaps(
     frags: List[Frag],
     min_olen: int,
@@ -508,22 +511,38 @@ def find_overlaps(
     len_min: float,
 ) -> Tuple[GraphAss, Dict[Tuple[int, int], Tuple[int, float]]]:
     """find_overlaps (src/assembly.cpp:669-701): edges require both the
-    score gate and end-node containment in the partner's node list."""
+    score gate and end-node containment in the partner's node list.
+    Large candidate sets score all pairs in one device batch
+    (keelime_device.overlap_scores_batch, SURVEY §7.8) with identical
+    results."""
     g = GraphAss(len(frags))
     overlap_map: Dict[Tuple[int, int], Tuple[int, float]] = {}
     cache: Dict[Tuple[int, int], Tuple[int, float]] = {}
 
+    def seq(i: int) -> str:
+        return frags[i].ry if specified_deam else frags[i].seq
+
+    # enumerate the unique ordered pairs once
+    wanted: List[Tuple[int, int]] = []
+    seen = set()
+    for i, cands in density.items():
+        for j in cands:
+            for key in ((i, j), (j, i)):
+                if key not in seen:
+                    seen.add(key)
+                    wanted.append(key)
+    if len(wanted) >= DEVICE_OVERLAP_MIN_PAIRS:
+        from .keelime_device import overlap_scores_batch
+
+        results = overlap_scores_batch(
+            [(seq(i), seq(j)) for i, j in wanted], min_olen, len_min
+        )
+        cache = dict(zip(wanted, results))
+
     def ov(i: int, j: int) -> Tuple[int, float]:
         key = (i, j)
         if key not in cache:
-            if specified_deam:
-                cache[key] = overlap_score(
-                    frags[i].ry, frags[j].ry, min_olen, len_min
-                )
-            else:
-                cache[key] = overlap_score(
-                    frags[i].seq, frags[j].seq, min_olen, len_min
-                )
+            cache[key] = overlap_score(seq(i), seq(j), min_olen, len_min)
         return cache[key]
 
     for i, cands in density.items():
