@@ -88,7 +88,72 @@ def iter_fastq(path: str) -> Iterator[Read]:
             )
 
 
+def _read_fastq_native(path: str) -> Optional[List[Read]]:
+    """Columnar FASTQ parse via the C++ lib (cpp/fastqreader.cpp):
+    plain or gzip, qualities phred-decoded natively. Returns None when
+    the native lib is unavailable."""
+    import ctypes
+
+    import numpy as np
+
+    from .gam_native import _load
+
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_fastq_ready"):
+        lib.fastq_parse.restype = ctypes.c_void_p
+        lib.fastq_parse.argtypes = [ctypes.c_char_p]
+        for name in ("fastq_n", "fastq_name_pool_size",
+                     "fastq_seq_pool_size"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p]
+        lib.fastq_copy.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.fastq_free.argtypes = [ctypes.c_void_p]
+        lib._fastq_ready = True
+    h = lib.fastq_parse(path.encode())
+    if not h:
+        return None
+    try:
+        n = lib.fastq_n(h)
+        np_sz = lib.fastq_name_pool_size(h)
+        sp_sz = lib.fastq_seq_pool_size(h)
+        name_pool = ctypes.create_string_buffer(max(int(np_sz), 1))
+        seq_pool = ctypes.create_string_buffer(max(int(sp_sz), 1))
+        qual_pool = (ctypes.c_uint8 * max(int(sp_sz), 1))()
+        name_off = (ctypes.c_int64 * (n + 1))()
+        seq_off = (ctypes.c_int64 * (n + 1))()
+        lib.fastq_copy(h, name_pool, name_off, seq_pool, qual_pool,
+                       seq_off)
+    finally:
+        lib.fastq_free(h)
+    names = bytes(name_pool.raw[:np_sz])
+    seqs = bytes(seq_pool.raw[:sp_sz])
+    quals = bytes(bytearray(qual_pool)[:sp_sz])
+    no = np.frombuffer(name_off, dtype=np.int64)
+    so = np.frombuffer(seq_off, dtype=np.int64)
+    out: List[Read] = []
+    for i in range(n):
+        out.append(
+            Read(
+                name=names[no[i] : no[i + 1]].decode("latin-1"),
+                seq=seqs[so[i] : so[i + 1]].decode("latin-1"),
+                qual=quals[so[i] : so[i + 1]],
+            )
+        )
+    return out
+
+
 def read_fastq(path: str) -> List[Read]:
+    native = _read_fastq_native(path)
+    if native is not None:
+        return native
     return list(iter_fastq(path))
 
 
