@@ -504,15 +504,21 @@ def cmd_map(args: List[str]) -> int:
     graph = _load_graph(db)
     mapper = BatchedMapper(graph, k=k, w=w)
     reads = fastx.read_fastq(fq1)
+    n_total = len(reads)
     if fq2:
-        reads += fastx.read_fastq(fq2)
-    alignments = mapper.map_reads(reads)
-    if fq2:
-        for a2 in alignments:
-            a2.read_paired = True
+        r2 = fastx.read_fastq(fq2)
+        n_total += len(r2)
+        if len(r2) == len(reads):
+            alignments = mapper.map_read_pairs(reads, r2)
+        else:
+            alignments = mapper.map_reads(reads + r2)
+            for a2 in alignments:
+                a2.read_paired = True
+    else:
+        alignments = mapper.map_reads(reads)
     gamio.write_gam(out, alignments)
     mapped = sum(1 for a2 in alignments if a2.identity != 0)
-    print(f"[map] mapped {mapped}/{len(reads)} reads -> {out}", file=sys.stderr)
+    print(f"[map] mapped {mapped}/{n_total} reads -> {out}", file=sys.stderr)
     return 0
 
 
