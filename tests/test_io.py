@@ -115,3 +115,62 @@ def test_native_gam_codec_large(ref):
         pytest.skip("native codec unavailable")
     p = str(ref / "test/input_files/alignments/J2a1a1a1.gam")
     assert len(gam_native.read_gam_fast(p)) == len(gam.read_gam(p))
+
+
+def test_read_vg_matches_gfa_twin(ref):
+    """The bundled .vg and .gfa fixtures are the same graph
+    (`test/reconstructInputSeq/cmds`); the vg-protobuf reader must
+    produce an identical PackedGraph."""
+    import numpy as np
+
+    from vgan_tpu.graph.packed import PackedGraph
+    from vgan_tpu.io.vgformat import read_vg
+
+    g_vg = read_vg(str(ref / "test/reconstructInputSeq/target_graph.vg"))
+    g_gfa = PackedGraph.from_gfa(
+        str(ref / "test/reconstructInputSeq/target_graph.gfa")
+    )
+    assert g_vg.min_id == g_gfa.min_id
+    assert np.array_equal(g_vg.node_seq_pool, g_gfa.node_seq_pool)
+    assert np.array_equal(g_vg.node_off, g_gfa.node_off)
+    assert sorted(g_vg.path_names) == sorted(g_gfa.path_names)
+    for n in g_vg.path_names:
+        i, j = g_vg.path_names.index(n), g_gfa.path_names.index(n)
+        assert np.array_equal(
+            g_vg.path_steps_node[i], g_gfa.path_steps_node[j]
+        )
+        assert np.array_equal(g_vg.path_steps_rev[i], g_gfa.path_steps_rev[j])
+    ev = sorted(zip(g_vg.edge_from.tolist(), g_vg.edge_from_rev.tolist(),
+                    g_vg.edge_to.tolist(), g_vg.edge_to_rev.tolist()))
+    eg = sorted(zip(g_gfa.edge_from.tolist(), g_gfa.edge_from_rev.tolist(),
+                    g_gfa.edge_to.tolist(), g_gfa.edge_to_rev.tolist()))
+    assert ev == eg
+    assert np.array_equal(
+        g_vg.path_support[:, [g_vg.path_names.index(n) for n in g_gfa.path_names]],
+        g_gfa.path_support,
+    )
+
+
+def test_native_fastq_parity(ref, tmp_path):
+    """The C++ FASTQ parser matches the Python reader field-for-field,
+    plain and gzipped."""
+    import gzip as _gzip
+    import shutil
+
+    from vgan_tpu.io import fastx
+
+    src = str(ref / "test/reconstructInputSeq/test_reads.fq")
+    native = fastx._read_fastq_native(src)
+    if native is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    pure = list(fastx.iter_fastq(src))
+    assert len(native) == len(pure)
+    for a, b in zip(native, pure):
+        assert (a.name, a.seq, a.qual) == (b.name, b.seq, b.qual)
+    gz = str(tmp_path / "reads.fq.gz")
+    with open(src, "rb") as f, _gzip.open(gz, "wb") as g:
+        shutil.copyfileobj(f, g)
+    nz = fastx.read_fastq(gz)
+    assert len(nz) == len(pure) and nz[0].seq == pure[0].seq

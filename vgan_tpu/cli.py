@@ -523,17 +523,16 @@ def cmd_map(args: List[str]) -> int:
 
 
 def cmd_build_db(args: List[str]) -> int:
-    """build-db <in.gfa> <out_dir> [--k K --w W]: compile a GFA into the
-    packed graph + (optionally) persist the minimizer index."""
+    """build-db <in.gfa|in.vg> <out_dir> [--k K --w W]: compile a GFA
+    or vg-protobuf graph into the packed graph + (optionally) persist
+    the minimizer index."""
     import os
 
-    from .graph.packed import PackedGraph
-
     if len(args) < 2:
-        raise SystemExit("usage: vgan build-db in.gfa out_dir")
+        raise SystemExit("usage: vgan build-db in.gfa|in.vg out_dir")
     gfa, out_dir = args[0], args[1]
     os.makedirs(out_dir, exist_ok=True)
-    g = PackedGraph.from_gfa(gfa)
+    g = _load_one_graph(gfa)
     g.save(os.path.join(out_dir, "graph.npz"))
     print(
         f"packed {g.n_nodes} nodes / {g.n_paths} paths -> {out_dir}/graph.npz",
@@ -542,28 +541,36 @@ def cmd_build_db(args: List[str]) -> int:
     return 0
 
 
-def _load_graph(prefix: str):
-    """Resolve a graph for a DB prefix: <prefix>.npz, <prefix>.gfa or a
-    graph.npz/graph.gfa next to it."""
-    import os
-
+def _load_one_graph(path: str):
     from .graph.packed import PackedGraph
 
-    for cand in (prefix + ".npz", prefix + ".gfa"):
-        if os.path.exists(cand):
-            return (
-                PackedGraph.load(cand)
-                if cand.endswith(".npz")
-                else PackedGraph.from_gfa(cand)
-            )
+    if path.endswith(".npz"):
+        return PackedGraph.load(path)
+    if path.endswith(".vg"):
+        from .io.vgformat import read_vg
+
+        return read_vg(path)
+    return PackedGraph.from_gfa(path)
+
+
+def _load_graph(prefix: str):
+    """Resolve a graph for a DB prefix: <prefix>.{npz,gfa,vg}, the
+    path itself, or a graph.{npz,gfa,vg} next to it."""
+    import os
+
+    from .graph.packed import PackedGraph  # noqa: F401
+
+    exts = (".npz", ".gfa", ".vg")
+    if prefix.endswith(exts) and os.path.exists(prefix):
+        return _load_one_graph(prefix)
+    for ext in exts:
+        if os.path.exists(prefix + ext):
+            return _load_one_graph(prefix + ext)
     d = os.path.dirname(prefix)
-    for cand in (os.path.join(d, "graph.npz"), os.path.join(d, "graph.gfa")):
+    for name in ("graph.npz", "graph.gfa", "graph.vg"):
+        cand = os.path.join(d, name)
         if os.path.exists(cand):
-            return (
-                PackedGraph.load(cand)
-                if cand.endswith(".npz")
-                else PackedGraph.from_gfa(cand)
-            )
+            return _load_one_graph(cand)
     raise FileNotFoundError(f"no graph found for prefix {prefix}")
 
 
