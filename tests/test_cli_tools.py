@@ -121,3 +121,28 @@ def test_version_cli(capsys):
     assert cli.main(["version"]) == 0
     outp = capsys.readouterr().out
     assert outp.startswith("v3")
+
+
+def test_euka_cli_e2e(tiny_euka_db, tmp_path):
+    """Full euka CLI run against the materialized one-taxon DB: maps
+    the fixture reads, detects the taxon with relaxed gates, writes
+    the four reference-schema TSVs."""
+    out = str(tmp_path / "euka_out")
+    rc = cli.main(
+        ["euka", "--euka_dir", str(tiny_euka_db), "--dbprefix", "toy_db",
+         "-fq1", "/root/reference/test/reconstructInputSeq/test_reads.fq",
+         "-o", out, "--minMQ", "0", "--minFrag", "1", "--minBins", "1",
+         "--maxBins", "3", "--entropy", "0.5", "-k", "20", "-w", "10",
+         "--iter", "200", "--burnin", "10"]
+    )
+    assert rc == 0
+    for suffix in ("_abundance.tsv", "_detected.tsv", "_coverage.tsv",
+                   "_inSize.tsv"):
+        assert os.path.exists(out + suffix), suffix
+    with open(out + "_abundance.tsv") as f:
+        header = f.readline()
+        assert header.startswith("#Taxa\tdetected\tNumber_of_reads")
+        rows = [l.split("\t") for l in f]
+    assert rows and rows[0][0] == "ToyTaxon"
+    assert rows[0][1] == "yes"
+    assert int(rows[0][2]) >= 1
