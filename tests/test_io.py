@@ -174,3 +174,25 @@ def test_native_fastq_parity(ref, tmp_path):
         shutil.copyfileobj(f, g)
     nz = fastx.read_fastq(gz)
     assert len(nz) == len(pure) and nz[0].seq == pure[0].seq
+
+
+def test_runtime_guards():
+    """Batch-boundary equivalents of the reference's NaN/positivity
+    throws (SURVEY §5; `src/getLCAfromGAM.h:355-357`,
+    `src/MCMC.cpp:1164-1169`)."""
+    import numpy as np
+    import pytest
+
+    from vgan_tpu.utils import guards
+
+    guards.check_finite(np.array([1.0, -2.0]), "x")
+    with pytest.raises(RuntimeError, match="nan"):
+        guards.check_finite(np.array([1.0, np.nan]), "x")
+    guards.check_loglik(np.array([-3.0, 0.0]), "ll")
+    with pytest.raises(RuntimeError, match="positive"):
+        guards.check_loglik(np.array([-3.0, 0.5]), "ll")
+    with pytest.raises(RuntimeError, match="nan"):
+        guards.check_loglik(np.array([np.inf]), "ll")
+    guards.check_simplex(np.array([[0.3, 0.7], [0.5, 0.5]]), "s")
+    with pytest.raises(RuntimeError, match="sum"):
+        guards.check_simplex(np.array([0.3, 0.3]), "s")

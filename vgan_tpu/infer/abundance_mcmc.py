@@ -90,6 +90,10 @@ def run_mcmc(
         return samples
 
     samples = np.asarray(run(keys))
+    # simplex-sum assertion, `src/MCMC.cpp:1164-1169`
+    from ..utils.guards import check_simplex
+
+    check_simplex(samples, "abundance proposal")
 
     est = np.empty(T)
     ci85 = np.empty((T, 2))

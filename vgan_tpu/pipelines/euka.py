@@ -37,6 +37,7 @@ import numpy as np
 
 from ..graph.packed import PackedGraph
 from ..graph.reconstruct import reconstruct_graph_sequence
+from ..utils import guards
 from ..io.gam import Alignment
 from ..models import phred
 from ..models.damage import DamageModel, dinuc_gather
@@ -421,7 +422,12 @@ class EukaScorer:
             self.bfreq,
             self.ttr,
         )
-        return np.asarray(il), np.asarray(nl)
+        il, nl = np.asarray(il), np.asarray(nl)
+        # batch-boundary equivalent of the reference's per-base NaN/Inf
+        # gate (`src/readGAM_Euka.h` throws on bad log-likes)
+        guards.check_loglik(il, "euka model-1 log-likelihood")
+        guards.check_loglik(nl, "euka model-2 log-likelihood")
+        return il, nl
 
 
 def compute_init_vec(counts: np.ndarray, detected: List[int]) -> np.ndarray:

@@ -42,6 +42,7 @@ from ..graph.packed import PackedGraph
 from ..graph.reconstruct import reconstruct_graph_sequence
 from ..io.gam import Alignment
 from ..models import mutation, phred
+from ..utils import guards
 from ..utils import dna
 
 _LOG_QUARTER = float(np.log(0.25))
@@ -279,7 +280,10 @@ def score_alignments(
         out = _reduce_paths_f32(
             jnp.asarray(c, jnp.float64), jnp.float64(total_b), db.support_f32
         )
-    return np.asarray(out, dtype=np.float64)
+    out = np.asarray(out, dtype=np.float64)
+    # reference asserts every computed log-likelihood is finite
+    guards.check_finite(out, "haplocart final_vec")
+    return out
 
 
 def predict(db: HaplocartDB, final_vec: np.ndarray) -> str:

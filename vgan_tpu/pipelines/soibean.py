@@ -49,6 +49,7 @@ from ..graph.packed import PackedGraph
 from ..graph.reconstruct import reconstruct_graph_sequence
 from ..io.gam import Alignment
 from ..models import phred
+from ..utils import guards
 from ..utils import dna
 
 LOG_SUPPORTED_CONST = float(np.log(0.9999999))
@@ -200,6 +201,8 @@ def analyse_reads(
 
     if detail is not None:
         detail.close()
+    # batch equivalent of `src/getLCAfromGAM.h:355-357` per-base gate
+    guards.check_loglik(path_map, "soibean pathMap")
     # mostProbPath: exact-equality argmax ties (`src/getLCAfromGAM.h:564-579`)
     if R:
         mx = path_map.max(axis=1, keepdims=True)
