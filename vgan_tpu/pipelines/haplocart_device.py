@@ -136,58 +136,80 @@ def batch_from_alignments(db, alignments, max_node_len: int = 8):
     from ..models import phred
     from ..utils import dna
 
-    rows_g, rows_r, rows_q = [], [], []
-    pang, mq, bvec, node, valid = [], [], [], [], []
+    rows_g, rows_r, rows_q, rows_v = [], [], [], []
+    pang, mq, bvec, node = [], [], [], []
     qscore = phred.qscore_vec()
+    log_q0 = float(np.log(qscore[0]))
     S = max_node_len
+    col = np.arange(S)
     for a in alignments:
         if a.identity < 1e-10 or not a.path.mappings:
             continue
         graph_seq, read_seq, sizes = reconstruct_graph_sequence(
             db.graph, a.path, a.sequence
         )
-        gcodes = dna.encode(graph_seq)
-        rcodes = dna.encode(read_seq)
+        gcodes = dna.encode(graph_seq).astype(np.int32)
+        rcodes = dna.encode(read_seq).astype(np.int32)
         L = len(read_seq)
         qual = np.zeros(2 * L + 8, dtype=np.int64)
         q_raw = np.frombuffer(a.quality, dtype=np.uint8)
         qual[: len(q_raw)] = q_raw
-        pos = 0
-        for i, m in enumerate(a.path.mappings):
-            size = sizes[i] if i < len(sizes) else 0
-            take = min(size, S)
-            g_row = np.full(S, 255, dtype=np.int32)
-            r_row = np.full(S, 255, dtype=np.int32)
-            q_row = np.zeros(S, dtype=np.int32)
-            v_row = np.zeros(S, dtype=bool)
-            g_row[:take] = gcodes[pos : pos + take]
-            r_row[:take] = rcodes[:take]  # quirk: from read start
-            q_row[:take] = qual[pos : pos + take]
-            v_row[:take] = True
-            rows_g.append(g_row)
-            rows_r.append(r_row)
-            rows_q.append(q_row)
-            nidx = a.path.mappings[i].position.node_id - db.graph.min_id
-            node.append(nidx)
-            pang.append(int(db.pangenome_base[nidx]))
-            mq.append(min(a.mapping_quality, 99))
-            # unsupported-path penalty over the remaining read
-            qs = qscore[np.clip(qual[pos : pos + L], 0, 99)]
-            bvec.append(float(np.log(qs).sum()))
-            valid.append(v_row)
-            pos += size
-    M = len(node)
-    if M == 0:
+        n_map = len(a.path.mappings)
+        # per-mapping sizes: sizes is per-edit (reference quirk) but
+        # indexed per mapping (`src/update_likelihood.cpp:36`)
+        size_m = np.array(
+            [sizes[i] if i < len(sizes) else 0 for i in range(n_map)],
+            dtype=np.int64,
+        )
+        starts = np.concatenate([[0], np.cumsum(size_m)[:-1]])
+        take = np.minimum(size_m, S)
+        # all rows of this read in one gather
+        idx = starts[:, None] + col[None, :]  # [n_map, S]
+        v = col[None, :] < take[:, None]
+        gpad = np.full(len(gcodes) + S, 255, dtype=np.int32)
+        gpad[: len(gcodes)] = gcodes
+        g_rows = np.where(v, gpad[np.minimum(idx, len(gpad) - 1)], 255)
+        # read row content is shared: the first `take` chars of the
+        # read from its start (reference quirk), masked per mapping
+        r_base = np.full(S, 255, dtype=np.int32)
+        r_base[: min(S, len(rcodes))] = rcodes[:S]
+        r_rows = np.where(v, r_base[None, :], 255)
+        qpad = np.zeros(len(qual) + S, dtype=np.int32)
+        qpad[: len(qual)] = qual
+        q_rows = np.where(v, qpad[np.minimum(idx, len(qpad) - 1)], 0)
+        # unsupported-path penalty over [pos, pos+L) of the padded
+        # quality array, via one cumulative sum per read
+        logq = np.log(qscore[np.clip(qual, 0, 99)])
+        cum = np.concatenate([[0.0], np.cumsum(logq)])
+        ends = starts + L
+        in_range = np.minimum(ends, len(qual))
+        b_read = (
+            cum[in_range] - cum[np.minimum(starts, len(qual))]
+            + (ends - in_range) * log_q0
+        )
+        nidx = np.array(
+            [m.position.node_id - db.graph.min_id for m in a.path.mappings],
+            dtype=np.int32,
+        )
+        rows_g.append(g_rows)
+        rows_r.append(r_rows)
+        rows_q.append(q_rows)
+        rows_v.append(v)
+        node.append(nidx)
+        pang.append(db.pangenome_base[nidx].astype(np.int32))
+        mq.append(np.full(n_map, min(a.mapping_quality, 99), dtype=np.int32))
+        bvec.append(b_read)
+    if not node:
         return None
     return HcBatch(
-        g=jnp.asarray(np.stack(rows_g)),
-        r=jnp.asarray(np.stack(rows_r)),
-        q=jnp.asarray(np.stack(rows_q)),
-        pang=jnp.asarray(np.array(pang, dtype=np.int32)),
-        mq=jnp.asarray(np.array(mq, dtype=np.int32)),
-        b=jnp.asarray(np.array(bvec)),
-        node=jnp.asarray(np.array(node, dtype=np.int32)),
-        valid=jnp.asarray(np.stack(valid)),
+        g=jnp.asarray(np.concatenate(rows_g)),
+        r=jnp.asarray(np.concatenate(rows_r)),
+        q=jnp.asarray(np.concatenate(rows_q)),
+        pang=jnp.asarray(np.concatenate(pang)),
+        mq=jnp.asarray(np.concatenate(mq)),
+        b=jnp.asarray(np.concatenate(bvec)),
+        node=jnp.asarray(np.concatenate(node)),
+        valid=jnp.asarray(np.concatenate(rows_v)),
     )
 
 
