@@ -196,3 +196,61 @@ def test_runtime_guards():
     guards.check_simplex(np.array([[0.3, 0.7], [0.5, 0.5]]), "s")
     with pytest.raises(RuntimeError, match="sum"):
         guards.check_simplex(np.array([0.3, 0.3]), "s")
+
+
+def test_read_og_matches_gfa_twin(ref):
+    """The bundled .og fixture is the same graph as its GFA twin
+    (`test/reconstructInputSeq/`); the bdsg-ODGI binary reader must
+    produce an identical PackedGraph (sequences, paths incl.
+    orientations, canonical edge set)."""
+    import numpy as np
+
+    from vgan_tpu.graph.packed import PackedGraph
+    from vgan_tpu.io.odgi import read_og
+
+    g_og = read_og(str(ref / "test/reconstructInputSeq/target_graph.og"))
+    g_gfa = PackedGraph.from_gfa(
+        str(ref / "test/reconstructInputSeq/target_graph.gfa")
+    )
+    assert g_og.min_id == g_gfa.min_id
+    assert g_og.n_nodes == g_gfa.n_nodes
+    assert np.array_equal(g_og.node_seq_pool, g_gfa.node_seq_pool)
+    assert np.array_equal(g_og.node_off, g_gfa.node_off)
+    assert sorted(g_og.path_names) == sorted(g_gfa.path_names)
+    for n in g_og.path_names:
+        i, j = g_og.path_names.index(n), g_gfa.path_names.index(n)
+        assert np.array_equal(
+            g_og.path_steps_node[i], g_gfa.path_steps_node[j]
+        ), n
+        assert np.array_equal(g_og.path_steps_rev[i], g_gfa.path_steps_rev[j])
+
+    def canon(g):
+        out = set()
+        for a, ar, b, br in zip(
+            g.edge_from.tolist(), g.edge_from_rev.tolist(),
+            g.edge_to.tolist(), g.edge_to_rev.tolist(),
+        ):
+            e = (a, ar, b, br)
+            out.add(min(e, (e[2], not e[3], e[0], not e[1])))
+        return out
+
+    assert canon(g_og) == canon(g_gfa)
+    assert np.array_equal(
+        g_og.path_support[:, [g_og.path_names.index(n) for n in g_gfa.path_names]],
+        g_gfa.path_support,
+    )
+
+
+def test_build_db_from_og(ref, tmp_path):
+    """build-db accepts .og input directly."""
+    from vgan_tpu import cli
+
+    out = tmp_path / "db"
+    rc = cli.main(
+        ["build-db", str(ref / "test/reconstructInputSeq/target_graph.og"), str(out)]
+    )
+    assert rc == 0
+    from vgan_tpu.graph.packed import PackedGraph
+
+    g = PackedGraph.load(str(out / "graph.npz"))
+    assert g.n_nodes == 28 and g.n_paths == 5
