@@ -248,3 +248,49 @@ def test_fallback_minimizer_trigger():
     assert not needs_fallback_index("N" * 7999)
     assert needs_fallback_index("N" * 8000)
     assert needs_fallback_index(("ACGT" * 2000) + ("-" * 8000))
+
+
+def test_safari_rescues_deaminated_reads():
+    """SAFARI mode (-S): RYmer-space seeding recovers reads whose
+    exact k-mer seeds were destroyed by C->T / G->A deamination
+    (functional here; the reference parses the flag but never shipped
+    the mapper, `src/Euka.cpp:300-303`)."""
+    from vgan_tpu.graph.synth import build_haplotype_graph, sample_reads
+    from vgan_tpu.io.fastx import Read, read_fasta
+    from vgan_tpu.mapper.giraffe import BatchedMapper
+
+    seqs, _ = read_fasta("/root/reference/test/input_files/rCRS.fa")
+    graph, _ = build_haplotype_graph(
+        seqs[0][:4000], n_haplotypes=4, n_variants=20, seed=5
+    )
+    rng = np.random.default_rng(7)
+    reads = sample_reads(graph, 0, n_reads=40, read_len=60,
+                         error_rate=0.0, seed=7)
+
+    # saturating terminal deamination: every C->T / G->A transition
+    # fires with p=0.9 across the read (ancient-DNA worst case)
+    def deaminate(r):
+        s = list(r.seq)
+        for i, ch in enumerate(s):
+            if ch == "C" and rng.random() < 0.9:
+                s[i] = "T"
+            elif ch == "G" and rng.random() < 0.9:
+                s[i] = "A"
+        return Read(name=r.name, seq="".join(s), qual=r.qual)
+
+    damaged = [deaminate(r) for r in reads]
+
+    plain = BatchedMapper(graph, k=20, w=10)
+    saf = BatchedMapper(graph, k=20, w=10, safari=True)
+
+    mapped_plain = sum(a.identity != 0 for a in plain.map_reads(damaged))
+    mapped_saf = sum(a.identity != 0 for a in saf.map_reads(damaged))
+    # exact seeding collapses under saturating damage; RYmer seeding
+    # is invariant to it
+    assert mapped_saf >= 0.9 * len(damaged), mapped_saf
+    assert mapped_saf > mapped_plain
+
+    # and on undamaged reads SAFARI must not lose anything
+    clean_plain = sum(a.identity != 0 for a in plain.map_reads(reads))
+    clean_saf = sum(a.identity != 0 for a in saf.map_reads(reads))
+    assert clean_saf >= clean_plain

@@ -139,6 +139,7 @@ def cmd_euka(args: List[str]) -> int:
     out_frag = False
     out_group = ""
     k, w = 20, 10
+    safari = False
     i = 0
     while i < len(args):
         a = args[i]
@@ -187,10 +188,10 @@ def cmd_euka(args: List[str]) -> int:
         elif a == "-w":
             w = int(_take(args, i)); i += 2
         elif a in ("-S", "--SAFARI"):
-            # parsed but inert, as in the reference (the SAFARI
-            # damage-aware mapper variant never shipped,
+            # damage-aware RYmer seeding (functional here; the
+            # reference parses the flag but never shipped the mapper,
             # `src/Euka.cpp:300-303`)
-            i += 1
+            safari = True; i += 1
         elif a == "-t":
             i += 2
         elif a == "--profile":
@@ -215,7 +216,7 @@ def cmd_euka(args: List[str]) -> int:
         with PROFILER.stage("read_gam"):
             alignments = gamio.read_gam(gamfile)
     else:
-        mapper = Mapper(graph, k=k, w=w)
+        mapper = Mapper(graph, k=k, w=w, safari=safari)
         reads = fastx.read_fastq(fq1)
         r2 = fastx.read_fastq(fq2) if fq2 else []
         with PROFILER.stage("map", items=len(reads) + len(r2)):
@@ -273,6 +274,7 @@ def cmd_soibean(args: List[str]) -> int:
     alignment_detail = False
     path_thres = 0
     rand_start = False
+    safari = False
     i = 0
     while i < len(args):
         a = args[i]
@@ -323,9 +325,9 @@ def cmd_soibean(args: List[str]) -> int:
         elif a == "-M":
             _take(args, i); i += 2  # alternative minimizer index file
         elif a in ("-S", "--SAFARI"):
-            # parsed but inert, as in the reference
-            # (`src/soibean.cpp:395-399`)
-            i += 1
+            # damage-aware RYmer seeding (functional here; inert in
+            # the reference, `src/soibean.cpp:395-399`)
+            safari = True; i += 1
         elif a == "--profile":
             from .utils import profiling
 
@@ -341,7 +343,7 @@ def cmd_soibean(args: List[str]) -> int:
         with PROFILER.stage("read_gam"):
             alignments = gamio.read_gam(gamfile)
     else:
-        mapper = Mapper(graph, k=k, w=w)
+        mapper = Mapper(graph, k=k, w=w, safari=safari)
         reads = fastx.read_fastq(fq1)
         with PROFILER.stage("map", items=len(reads)):
             if fq2 and not interleaved:

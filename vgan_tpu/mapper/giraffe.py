@@ -53,6 +53,8 @@ def seed_and_cluster(
     read_codes: np.ndarray,
     max_diag_gap: int = 48,
 ) -> List[Candidate]:
+    if index.ry:
+        read_codes = mz.to_ry(read_codes)
     pos, hashes, read_rc = mz.all_kmers(read_codes, index.k)
     L = len(read_codes)
     hits: List[Tuple[int, bool, int]] = []  # (path, strand, diag)
@@ -264,9 +266,18 @@ class Mapper:
     """End-to-end read mapper producing GAM alignments."""
 
     def __init__(self, graph: PackedGraph, k: int = 20, w: int = 10,
-                 index: Optional[MinimizerIndex] = None):
+                 index: Optional[MinimizerIndex] = None,
+                 safari: bool = False):
         self.graph = graph
         self.index = index or MinimizerIndex.build(graph, k=k, w=w)
+        # SAFARI damage-aware mode: a second, RYmer-space index whose
+        # seeds survive C->T/G->A deamination (the reference's
+        # -S/--SAFARI flags are parsed but inert, src/Euka.cpp:300-303)
+        self.ry_index = (
+            MinimizerIndex.build(graph, k=k, w=w, ry=True, max_occ=64)
+            if safari
+            else None
+        )
         self._step_offs = [
             _step_offsets(graph, p) for p in range(graph.n_paths)
         ]
@@ -274,6 +285,11 @@ class Mapper:
     def map_read(self, read: Read) -> gam.Alignment:
         codes = dna.encode(read.seq)
         clusters = seed_and_cluster(self.index, codes)
+        if self.ry_index is not None:
+            clusters = sorted(
+                clusters + seed_and_cluster(self.ry_index, codes),
+                key=lambda c: -c.n_seeds,
+            )
         a = gam.Alignment(sequence=read.seq, name=read.name,
                           quality=bytes(read.qual or b""))
         if not clusters:
@@ -358,7 +374,9 @@ class BatchedMapper(Mapper):
         all_cands = []  # (read_idx, cand, window_codes, window_lo)
         path_cache = self._path_cache
         read_codes = [dna.encode(r.seq) for r in reads]
-        clusters_per_read = seed_and_cluster_batch(index, read_codes)
+        clusters_per_read = seed_and_cluster_batch(
+            index, read_codes, ry_index=self.ry_index
+        )
         # haplotype paths share most sequence, so a read's candidates
         # are usually byte-identical windows: dedup by content BEFORE
         # scoring so the device scores each distinct window once
@@ -683,24 +701,17 @@ class BatchedMapper(Mapper):
         return a
 
 
-def seed_and_cluster_batch(
-    index: MinimizerIndex,
-    read_codes_list,
-    max_diag_gap: int = 48,
-):
-    """Vectorized seeding for a whole read batch.
-
-    All k-mers of all reads are hashed and looked up in one numpy pass
-    (searchsorted join against the sorted index hashes), postings are
-    expanded CSR-style, and clusters are cut with a single lexsort over
-    (read, path, strand, diagonal) — no per-hit Python loops.
-    Returns per-read lists of Candidates (same semantics as
-    seed_and_cluster)."""
-    n_reads = len(read_codes_list)
-    rid, pos, hashes, rrc = mz.all_kmers_batch(read_codes_list, index.k)
+def _batch_hits(index: MinimizerIndex, read_codes_list, read_lens):
+    """Hash every read k-mer (RY-projected when the index is an RYmer
+    index), join against the index, and expand postings to flat hit
+    arrays (read, path, strand, diag)."""
+    codes_list = (
+        [mz.to_ry(c) for c in read_codes_list] if index.ry else read_codes_list
+    )
+    rid, pos, hashes, rrc = mz.all_kmers_batch(codes_list, index.k)
+    empty = (np.zeros(0, np.int64),) * 4
     if not len(pos):
-        return [[] for _ in range(n_reads)]
-    read_lens = np.array([len(c) for c in read_codes_list], dtype=np.int64)
+        return empty
     rlen = read_lens[rid]
 
     idx = np.searchsorted(index.hashes, hashes)
@@ -711,7 +722,7 @@ def seed_and_cluster_batch(
     counts = (p1 - p0).astype(np.int64)
     total = int(counts.sum())
     if total == 0:
-        return [[] for _ in range(n_reads)]
+        return empty
     # expand postings CSR-style
     qidx = np.repeat(np.arange(len(pos)), counts)  # query row per hit
     starts = np.repeat(p0, counts)
@@ -725,9 +736,39 @@ def seed_and_cluster_batch(
     strand = index.post_rc[pi] ^ rrc[qidx]
     rc_pos = rlen[qidx] - index.k - pos[qidx]
     diag = np.where(strand, ppos - rc_pos, ppos - pos[qidx])
-    read_of = rid[qidx]
+    return rid[qidx], path, strand.astype(np.int64), diag
 
-    order = np.lexsort((diag, strand.astype(np.int64), path, read_of))
+
+def seed_and_cluster_batch(
+    index: MinimizerIndex,
+    read_codes_list,
+    max_diag_gap: int = 48,
+    ry_index: Optional[MinimizerIndex] = None,
+):
+    """Vectorized seeding for a whole read batch.
+
+    All k-mers of all reads are hashed and looked up in one numpy pass
+    (searchsorted join against the sorted index hashes), postings are
+    expanded CSR-style, and clusters are cut with a single lexsort over
+    (read, path, strand, diagonal) — no per-hit Python loops.
+    With ry_index (SAFARI damage-aware mode) RYmer-space hits are
+    merged in before clustering, so seeds broken by C->T/G->A
+    deamination still anchor candidates. Returns per-read lists of
+    Candidates (same semantics as seed_and_cluster)."""
+    n_reads = len(read_codes_list)
+    read_lens = np.array([len(c) for c in read_codes_list], dtype=np.int64)
+    read_of, path, strand, diag = _batch_hits(index, read_codes_list, read_lens)
+    if ry_index is not None:
+        r2, p2, s2, d2 = _batch_hits(ry_index, read_codes_list, read_lens)
+        read_of = np.concatenate([read_of, r2])
+        path = np.concatenate([path, p2])
+        strand = np.concatenate([strand, s2])
+        diag = np.concatenate([diag, d2])
+    total = len(read_of)
+    if total == 0:
+        return [[] for _ in range(n_reads)]
+
+    order = np.lexsort((diag, strand, path, read_of))
     read_s = read_of[order]
     path_s = path[order]
     strand_s = strand[order]

@@ -32,9 +32,21 @@ class MinimizerIndex:
     # per-path linearization support
     path_len: np.ndarray  # [P]
     step_off: List[np.ndarray]  # per path: cumulative node start offsets
+    ry: bool = False  # index is over RYmer-projected sequence
 
     @classmethod
-    def build(cls, graph: PackedGraph, k: int = 20, w: int = 10) -> "MinimizerIndex":
+    def build(
+        cls,
+        graph: PackedGraph,
+        k: int = 20,
+        w: int = 10,
+        ry: bool = False,
+        max_occ: int | None = None,
+    ) -> "MinimizerIndex":
+        """Build the index. ry=True hashes RYmer-projected sequence
+        (damage-aware SAFARI seeding); max_occ drops hashes with more
+        postings (frequent-kmer filter — RY space is 1 bit/base, so
+        low-complexity stretches need it)."""
         postings: Dict[int, Dict[Tuple[int, int, bool], Tuple[int, int, bool]]] = {}
         path_len = np.zeros(graph.n_paths, dtype=np.int64)
         step_off: List[np.ndarray] = []
@@ -43,7 +55,9 @@ class MinimizerIndex:
             path_len[p] = len(codes)
             offs = _step_offsets(graph, p)
             step_off.append(offs)
-            pos, hashes, is_rc = mz.minimizers(codes, k, w)
+            pos, hashes, is_rc = mz.minimizers(
+                mz.to_ry(codes) if ry else codes, k, w
+            )
             for ppos, h, rc in zip(pos, hashes, is_rc):
                 # graph position of the k-mer start
                 step = int(np.searchsorted(offs, ppos, side="right") - 1)
@@ -53,6 +67,10 @@ class MinimizerIndex:
                 postings.setdefault(int(h), {}).setdefault(
                     key, (p, int(ppos), bool(rc))
                 )
+        if max_occ is not None:
+            postings = {
+                h: d for h, d in postings.items() if len(d) <= max_occ
+            }
         uniq = np.array(sorted(postings), dtype=np.uint64)
         counts = np.array([len(postings[int(h)]) for h in uniq], dtype=np.int64)
         post_off = np.zeros(len(uniq) + 1, dtype=np.int64)
@@ -71,7 +89,7 @@ class MinimizerIndex:
         return cls(
             k=k, w=w, hashes=uniq, post_off=post_off, post_path=post_path,
             post_ppos=post_ppos, post_rc=post_rc, path_len=path_len,
-            step_off=step_off,
+            step_off=step_off, ry=ry,
         )
 
     def lookup(self, hashes: np.ndarray) -> List[Tuple[int, int]]:

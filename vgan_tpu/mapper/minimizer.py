@@ -33,6 +33,25 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def to_ry(codes: np.ndarray) -> np.ndarray:
+    """Project base codes into RYmer (purine/pyrimidine) space:
+    A,G -> A and C,T -> T, leaving non-ACGT codes untouched.
+
+    The aDNA deamination substitutions (C->T, G->A,
+    `src/damage.cpp:41-323`) are transitions within each class, so
+    k-mers of damaged fragments are invariant under this projection —
+    the basis of SAFARI-style damage-aware seeding (the reference
+    parses -S/--SAFARI but never shipped the mapper,
+    `src/Euka.cpp:300-303`). Mapping onto the A/T codes keeps the
+    existing 2-bit packing and complement (A<->T) machinery valid in
+    RY space (R and Y are each other's complement)."""
+    c = np.asarray(codes, dtype=np.uint8)
+    out = c.copy()
+    out[(c == 2)] = 0  # G -> R(A)
+    out[(c == 1)] = 3  # C -> Y(T)
+    return out
+
+
 def kmer_codes(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
     """2-bit pack all k-mers of a code sequence.
 
