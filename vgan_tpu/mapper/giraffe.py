@@ -492,13 +492,9 @@ class BatchedMapper(Mapper):
             q = dna.revcomp_codes(codes) if cand.strand else codes
             off = wcodes.tobytes().find(q.tobytes())
             if off >= 0:
-                path = _project_path_interval(
-                    graph, cand.path, lo + off, L,
-                    dna.decode(q),
+                a.path = _project_path_interval(
+                    graph, cand.path, lo + off, L, flip=cand.strand
                 )
-                if cand.strand:
-                    path = _flip_path(graph, path, None, r.seq)
-                a.path = path
                 a.score = int(_score)
                 a.identity = 1.0
                 a.mapping_quality = mq(float(_score))
@@ -804,33 +800,44 @@ def seed_and_cluster_batch(
 
 
 def _project_path_interval(graph, path: int, start: int, length: int,
-                           read: str) -> gam.Path:
+                           flip: bool = False) -> gam.Path:
     """All-match projection of a path interval [start, start+length)
-    onto per-node mappings (perfect-alignment fast path)."""
+    onto per-node mappings (perfect-alignment fast path). With flip,
+    emit the GAM minus-strand convention directly (mappings in read
+    order = reversed, orientations flipped, offsets re-anchored from
+    the node's other end) — one pass instead of project-then-flip."""
     offs = graph.step_offsets(path)
     steps_node = graph.path_steps_node[path]
-    steps_rev = graph.path_steps_rev[path]
-    out = gam.Path()
-    pos = start
+    min_id = graph.min_id
     end = start + length
-    step = int(np.searchsorted(offs, pos, side="right") - 1)
-    while pos < end:
-        nidx = int(steps_node[step])
-        nlen = int(graph.node_off[nidx + 1] - graph.node_off[nidx])
-        node_start = int(offs[step])
-        off_in_node = pos - node_start
-        take = min(end - pos, nlen - off_in_node)
+    s0 = int(np.searchsorted(offs, start, side="right") - 1)
+    s1 = int(np.searchsorted(offs, end - 1, side="right"))
+    nidx = steps_node[s0:s1]
+    node_id = (nidx.astype(np.int64) + min_id).tolist()
+    nst = offs[s0:s1].tolist()
+    nlen = (graph.node_off[nidx + 1] - graph.node_off[nidx]).tolist()
+    rev = graph.path_steps_rev[path][s0:s1].tolist()
+    parts = []  # (node_id, offset, is_reverse, take)
+    pos = start
+    for i in range(len(node_id)):
+        off_in_node = pos - nst[i]
+        take = min(end - pos, nlen[i] - off_in_node)
+        if flip:
+            parts.append(
+                (node_id[i], nlen[i] - off_in_node - take, not rev[i], take)
+            )
+        else:
+            parts.append((node_id[i], off_in_node, rev[i], take))
+        pos += take
+    if flip:
+        parts.reverse()
+    out = gam.Path()
+    for rank, (nid, off, rev, take) in enumerate(parts, 1):
         out.mappings.append(
             gam.Mapping(
-                position=gam.Position(
-                    node_id=nidx + graph.min_id,
-                    offset=off_in_node,
-                    is_reverse=bool(steps_rev[step]),
-                ),
+                position=gam.Position(node_id=nid, offset=off, is_reverse=rev),
                 edits=[gam.Edit(take, take, "")],
-                rank=len(out.mappings) + 1,
+                rank=rank,
             )
         )
-        pos += take
-        step += 1
     return out

@@ -60,25 +60,50 @@ def kmer_codes(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
     n = len(codes)
     if n < k:
         return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool)
-    c = codes.astype(np.uint64)
+    c = (codes & np.uint8(3)).astype(np.uint64)
     bad = codes >= 4
-    # rolling pack: kmer[i] = sum_j c[i+j] << 2*(k-1-j)
-    idx = np.arange(n - k + 1)[:, None] + np.arange(k)[None, :]
-    window = c[idx]  # [n-k+1, k]
-    shifts = (np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64))[None, :]
-    fwd = (window << shifts).sum(axis=1, dtype=np.uint64)
-    valid = ~(np.maximum.reduce(bad[idx], axis=1))
+    # doubling pack: P_m[i] = 2-bit pack of m codes starting at i;
+    # P_{2m}[i] = P_m[i] << 2m | P_m[i+m]. O(log k) full-array ops
+    # instead of a [n, k] window matrix.
+    packs = {1: c}
+    m = 1
+    while 2 * m <= k:
+        p = packs[m]
+        packs[2 * m] = (p[: len(p) - m] << np.uint64(2 * m)) | p[m:]
+        m *= 2
+    fwd = None
+    width = 0  # codes already packed
+    rem = k
+    for m in sorted(packs, reverse=True):
+        while rem >= m:
+            part = packs[m]
+            if fwd is None:
+                fwd = part[: n - k + 1].copy()
+            else:
+                fwd = (fwd << np.uint64(2 * m)) | part[width : width + n - k + 1]
+            width += m
+            rem -= m
+    # validity: no non-ACGT base inside the window
+    cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(bad, out=cum[1:])
+    valid = (cum[k:] - cum[: n - k + 1]) == 0
     return fwd, valid
 
 
 def revcomp_code(kmer: np.ndarray, k: int) -> np.ndarray:
-    """Reverse complement of 2-bit packed k-mers (complement = 3-b)."""
-    x = np.asarray(kmer, dtype=np.uint64)
-    out = np.zeros_like(x)
-    for j in range(k):
-        b = (x >> (np.uint64(2) * np.uint64(j))) & np.uint64(3)
-        out |= (np.uint64(3) - b) << (np.uint64(2) * np.uint64(k - 1 - j))
-    return out
+    """Reverse complement of 2-bit packed k-mers.
+
+    Complement of a 2-bit code is 3-b = b^3, so complementing the
+    whole word is one XOR; reversing the 2-bit groups is a standard
+    O(log) swap cascade (pairs within nibbles, nibbles within bytes,
+    byteswap), then a right shift drops the 64-2k unused bits."""
+    x = np.asarray(kmer, dtype=np.uint64) ^ np.uint64(0xFFFFFFFFFFFFFFFF)
+    m2 = np.uint64(0x3333333333333333)
+    x = ((x & m2) << np.uint64(2)) | ((x >> np.uint64(2)) & m2)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = ((x & m4) << np.uint64(4)) | ((x >> np.uint64(4)) & m4)
+    x = x.byteswap()
+    return x >> np.uint64(64 - 2 * k)
 
 
 def all_kmers(codes: np.ndarray, k: int):
