@@ -176,6 +176,38 @@ def test_native_fastq_parity(ref, tmp_path):
     assert len(nz) == len(pure) and nz[0].seq == pure[0].seq
 
 
+def test_fastq_edge_cases_native_python_parity(tmp_path):
+    """Truncated records (no trailing newline after seq/'+'/qual) and
+    CRLF line endings parse identically in the C++ and Python readers
+    — the truncated forms previously drove an out-of-bounds memchr in
+    the native parser (ADVICE r1)."""
+    import pytest
+
+    from vgan_tpu.io import fastx
+
+    cases = {
+        "trunc_seq.fq": "@r1\nACGT",               # ends mid-record after seq
+        "trunc_plus.fq": "@r1\nACGT\n+",            # ends after '+'
+        "trunc_qual.fq": "@r1\nACGT\n+\nII",        # short qual, no newline
+        "crlf.fq": "@r1 desc\r\nACGT\r\n+\r\nIIII\r\n",
+        "long_qual.fq": "@r1\nACGT\n+\nIIIIII\n",   # qual longer than seq
+    }
+    for fname, text in cases.items():
+        p = str(tmp_path / fname)
+        with open(p, "w") as f:
+            f.write(text)
+        pure = list(fastx.iter_fastq(p))
+        assert len(pure) == 1
+        r = pure[0]
+        assert r.seq == "ACGT" and len(r.qual) == 4
+        native = fastx._read_fastq_native(p)
+        if native is None:
+            pytest.skip("native lib unavailable")
+        assert len(native) == 1
+        a = native[0]
+        assert (a.name, a.seq, a.qual) == (r.name, r.seq, r.qual), fname
+
+
 def test_runtime_guards():
     """Batch-boundary equivalents of the reference's NaN/positivity
     throws (SURVEY §5; `src/getLCAfromGAM.h:355-357`,

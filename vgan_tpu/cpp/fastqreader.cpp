@@ -48,6 +48,7 @@ void* fastq_parse(const char* path) {
   fd->seq_off.push_back(0);
   size_t i = 0, n = data.size();
   auto line_end = [&](size_t from) {
+    if (from >= n) return n;  // truncated record: no trailing newline
     const char* p =
         static_cast<const char*>(memchr(data.data() + from, '\n', n - from));
     return p ? static_cast<size_t>(p - data.data()) : n;
@@ -75,9 +76,11 @@ void* fastq_parse(const char* path) {
     size_t slen = se - i;
     fd->seq_off.push_back((int64_t)fd->seq_pool.size());
     i = e + 1;
+    if (i > n) i = n;  // file truncated after sequence line
     // '+' separator
     e = line_end(i);
     i = e + 1;
+    if (i > n) i = n;  // file truncated after '+' line
     // qualities
     e = line_end(i);
     size_t qe = e;

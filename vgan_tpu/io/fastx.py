@@ -73,18 +73,23 @@ def read_fasta(path: str) -> Tuple[List[str], List[str]]:
 
 
 def iter_fastq(path: str) -> Iterator[Read]:
+    # Edge-case semantics match the native parser (cpp/fastqreader.cpp):
+    # CRLF stripped, quality truncated/zero-padded to len(seq).
     with _opener(path) as f:
         while True:
             h = f.readline()
             if not h:
                 return
-            seq = f.readline().rstrip("\n")
+            seq = f.readline().rstrip("\r\n")
             f.readline()  # '+'
-            qual = f.readline().rstrip("\n")
+            qual = f.readline().rstrip("\r\n")
+            q = bytes(max(0, ord(c) - 33) for c in qual[: len(seq)])
+            if len(q) < len(seq):
+                q += bytes(len(seq) - len(q))
             yield Read(
-                name=h.rstrip("\n")[1:].split()[0] if len(h) > 1 else "",
+                name=h.rstrip("\r\n")[1:].split()[0] if len(h) > 1 else "",
                 seq=seq,
-                qual=bytes(max(0, ord(c) - 33) for c in qual),
+                qual=q,
             )
 
 

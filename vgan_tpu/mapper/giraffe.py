@@ -706,7 +706,7 @@ def _batch_hits(index: MinimizerIndex, read_codes_list, read_lens):
     )
     rid, pos, hashes, rrc = mz.all_kmers_batch(codes_list, index.k)
     empty = (np.zeros(0, np.int64),) * 4
-    if not len(pos):
+    if not len(pos) or not len(index.hashes):
         return empty
     rlen = read_lens[rid]
 

@@ -13,7 +13,11 @@ char-pair table (`src/assembly.cpp:323-486`) and the per-start overlap
 length is min(len_b, len_a − s). The [N, S] score matrix comes back to
 the host, where the reference's exact winner rule (longest qualifying
 overlap, ties by score) picks the result — bit-identical to the
-sequential scorer (tests/test_keelime_device.py).
+sequential scorer (tests/test_keelime.py).
+
+Shapes fed to the jitted kernel are bucketed (N to the chunk size,
+La/Lb up to multiples of 64) so repeated calls with ragged batches
+reuse one compiled executable instead of recompiling per shape.
 
 The inner loop is a diagonal-band contraction of the pair-score tensor
 M[n, i, j] = TABLE[a[n, i], b[n, j]]: an elementwise gather plus a
@@ -71,11 +75,17 @@ def overlap_scores_batch(
     out: List[Tuple[int, float]] = []
     table = jnp.asarray(_COMBINED, dtype=jnp.float32)
     i = 0
+
+    def _bucket(x: int, q: int = 64) -> int:
+        return max(q, -(-x // q) * q)
+
     while i < len(pairs):
         batch = pairs[i : i + chunk]
-        La = max(len(a) for a, _ in batch)
-        Lb = max(len(b) for _, b in batch)
-        N = len(batch)
+        nb = len(batch)
+        # bucket shapes: one compile per (chunk, La-bucket, Lb-bucket)
+        La = _bucket(max(len(a) for a, _ in batch))
+        Lb = _bucket(max(len(b) for _, b in batch))
+        N = chunk if nb == chunk else _bucket(nb, 256)
         A = np.zeros((N, La), dtype=np.uint8)
         B = np.zeros((N, Lb), dtype=np.uint8)
         la = np.zeros(N, dtype=np.int32)
@@ -92,17 +102,17 @@ def overlap_scores_batch(
                 jnp.asarray(la), jnp.asarray(lb), table,
             ),
             dtype=np.float64,
-        )  # [N, La]
+        )[:nb]  # [nb, La]
         starts = np.arange(La)
-        olen = np.minimum(lb[:, None], la[:, None] - starts[None, :])
+        olen = np.minimum(lb[:nb, None], la[:nb, None] - starts[None, :])
         ok = (
             (olen >= min_olen)
             & (S >= min_score)
-            & (starts[None, :] <= (la[:, None] - min_olen))
+            & (starts[None, :] <= (la[:nb, None] - min_olen))
         )
         # maximize olen then score: lexicographic via a large multiplier
         # would lose float exactness — do it in two passes instead
-        for n in range(N):
+        for n in range(nb):
             cand = np.flatnonzero(ok[n])
             if not len(cand):
                 out.append((0, 0.0))
