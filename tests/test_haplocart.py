@@ -140,3 +140,35 @@ def test_device_scorer_matches_host(toy_db, toy_reads):
     want = hc.score_alignments(toy_db, toy_reads, precise=True)
     np.testing.assert_allclose(got, want, rtol=1e-8)
     assert int(np.argmax(got)) == int(np.argmax(want))
+
+
+def test_production_device_scorer_matches_host(toy_db, toy_reads):
+    """score_alignments_device — the scorer `vgan haplocart` runs by
+    default (haplocart_runner.run_sample) — agrees with the --precise
+    host oracle on real alignments, with auto node-length sizing and
+    M-axis bucketing in play."""
+    from vgan_tpu.pipelines import haplocart_device as hcd
+
+    got = hcd.score_alignments_device(toy_db, toy_reads)
+    want = hc.score_alignments(toy_db, toy_reads, precise=True)
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+    assert int(np.argmax(got)) == int(np.argmax(want))
+
+
+def test_device_scorer_consensus_mode(toy_db, toy_reads):
+    """Consensus-FASTA mode: device scorer applies the eps=bep
+    substitution (`src/get_p_obs_base.cpp:14-17`) and the
+    log((1-bep)*p_obs) term, matching the host oracle."""
+    from vgan_tpu.pipelines import haplocart_device as hcd
+
+    bep = 1e-4
+    got = hcd.score_alignments_device(
+        toy_db, toy_reads, background_error_prob=bep,
+        is_consensus_fasta=True,
+    )
+    want = hc.score_alignments(
+        toy_db, toy_reads, use_background_error_prob=True,
+        background_error_prob=bep, is_consensus_fasta=True, precise=True,
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+    assert int(np.argmax(got)) == int(np.argmax(want))

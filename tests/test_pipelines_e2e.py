@@ -54,6 +54,29 @@ def test_haplocart_e2e_fastq(toy_db_dir, ref, tmp_path):
     assert (tmp_path / "post.txt").exists()
 
 
+def test_haplocart_precise_vs_device_cli(toy_db_dir, ref, tmp_path):
+    """The default (device-scored) CLI path and the --precise host
+    oracle produce the same prediction and final_vec on a real sample
+    (VERDICT r1 #1: the measured thing is the shipped thing)."""
+    import numpy as np
+
+    from vgan_tpu.pipelines.haplocart_runner import load_db, run_sample
+
+    db = load_db(str(toy_db_dir))
+    base = dict(
+        db_dir=str(toy_db_dir),
+        gamfile=str(ref / "test/reconstructInputSeq/test_reads.gam"),
+    )
+    pred_d, n_d, vec_d = run_sample(
+        HaplocartConfig(**base), db, None, "s"
+    )
+    pred_p, n_p, vec_p = run_sample(
+        HaplocartConfig(**base, precise=True), db, None, "s"
+    )
+    assert (pred_d, n_d) == (pred_p, n_p)
+    np.testing.assert_allclose(vec_d, vec_p, rtol=1e-8)
+
+
 def test_haplocart_e2e_gam(toy_db_dir, ref, tmp_path):
     out = tmp_path / "hc_gam.tsv"
     cfg = HaplocartConfig(

@@ -99,6 +99,9 @@ def cmd_haplocart(args: List[str]) -> int:
             i += 1
         elif a == "-t":
             i += 2  # thread count accepted for compatibility
+        elif a == "--precise":
+            # host f64 oracle scorer instead of the device batch path
+            cfg.precise = True; i += 1
         elif a == "--profile":
             from .utils import profiling
 

@@ -41,7 +41,8 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
     return Mesh(arr, ("dp", "tp"))
 
 
-def sharded_score_fn(mesh: Mesh):
+def sharded_score_fn(mesh: Mesh, bep: float = 1e-4,
+                     consensus: bool = False):
     """Build the pjit-ed haplocart scoring step over (dp, tp):
     mappings shard over dp, the support matrix (and final_vec) over tp;
     the per-node accumulator merges with psum over ICI (dp)."""
@@ -53,7 +54,7 @@ def sharded_score_fn(mesh: Mesh):
             HcBatch(
                 g=P("dp", None), r=P("dp", None), q=P("dp", None),
                 pang=P("dp"), mq=P("dp"), b=P("dp"), node=P("dp"),
-                valid=P("dp", None),
+                valid=P("dp", None), use_bep=P("dp"),
             ),
             HcTables(
                 match_tab=P(), mapp_tab=P(), qtab=P(), imtab=P(), bg=P(),
@@ -64,7 +65,7 @@ def sharded_score_fn(mesh: Mesh):
         check_vma=False,
     )
     def step(batch: HcBatch, t: HcTables):
-        A = mapping_scores(batch, t)
+        A = mapping_scores(batch, t, bep, consensus)
         d = A - batch.b
         n_nodes = t.support.shape[0]
         c = jax.ops.segment_sum(d, batch.node, num_segments=n_nodes)
@@ -98,6 +99,7 @@ def shard_batch(batch: HcBatch, mesh: Mesh) -> HcBatch:
         # padded mappings scatter into node 0 with zero weight (b=0,A=0)
         node=prep(batch.node, P("dp")),
         valid=prep(batch.valid, P("dp", None)),
+        use_bep=prep(batch.use_bep, P("dp")),
     )
 
 

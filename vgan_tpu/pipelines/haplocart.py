@@ -215,7 +215,14 @@ def mapping_scalars(
 
         valid = (g < 4) & (r < 4)  # both plain ACGT (N/-/S/rare skipped)
         if valid.any():
-            eps = np.where(g == r, q, 1.0 - q)  # quirk: error-prob on match
+            if use_background_error_prob:
+                # consensus / qual>=90 reads take eps from the
+                # background error prob (`src/get_p_obs_base.cpp:14-17`)
+                eps = np.where(
+                    g == r, background_error_prob, 1.0 - background_error_prob
+                )
+            else:
+                eps = np.where(g == r, q, 1.0 - q)  # quirk: error-prob on match
             p_obs = db.match_prob[pangenome_base] * (1.0 - eps)
             if not is_consensus_fasta:
                 bg = mutation.BACKGROUND_FREQ[np.minimum(r, 4)]

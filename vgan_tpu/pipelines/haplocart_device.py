@@ -12,6 +12,7 @@ This function is the framework's flagship jittable step: it is what
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -32,6 +33,10 @@ class HcBatch(NamedTuple):
     b: jnp.ndarray  # [M] unsupported-path penalty (precomputed log-sum)
     node: jnp.ndarray  # [M] node index
     valid: jnp.ndarray  # [M, S] in-bounds mask
+    use_bep: jnp.ndarray  # [M] read's sticky qual>=90 flag
+    #   (`src/update_likelihood.cpp:42`: eps from the background error
+    #   prob instead of the quality string; always set in consensus
+    #   mode, `src/HaploCart.cpp:394-399`)
 
 
 class HcTables(NamedTuple):
@@ -55,24 +60,34 @@ def make_tables(support: np.ndarray, dtype=jnp.float32) -> HcTables:
     )
 
 
-def mapping_scores(batch: HcBatch, t: HcTables):
+def mapping_scores(batch: HcBatch, t: HcTables, bep, consensus: bool):
     """Per-mapping supported-increment A[M] (`src/process_mapping.cpp:54-81`)."""
     qv = t.qtab[jnp.clip(batch.q, 0, 99)]
     valid = batch.valid & (batch.g < 4) & (batch.r < 4)
-    eps = jnp.where(batch.g == batch.r, qv, 1.0 - qv)
+    match = batch.g == batch.r
+    eps_q = jnp.where(match, qv, 1.0 - qv)
+    # qual>=90 / consensus reads: eps from the background error prob
+    # (`src/get_p_obs_base.cpp:14-17`)
+    eps_b = jnp.where(match, bep, 1.0 - bep)
+    eps = jnp.where(batch.use_bep[:, None], eps_b, eps_q)
     p_obs = t.match_tab[batch.pang][:, None] * (1.0 - eps)
-    p_correct = (1.0 - t.imtab[jnp.clip(batch.mq, 0, 99)]) * t.mapp_tab[batch.pang]
-    bg = t.bg[batch.r]
-    term = jnp.log(
-        (1.0 - p_correct)[:, None] * bg + p_correct[:, None] * p_obs
-    )
+    if consensus:
+        term = jnp.log((1.0 - bep) * p_obs)
+    else:
+        p_correct = (
+            1.0 - t.imtab[jnp.clip(batch.mq, 0, 99)]
+        ) * t.mapp_tab[batch.pang]
+        bg = t.bg[batch.r]
+        term = jnp.log(
+            (1.0 - p_correct)[:, None] * bg + p_correct[:, None] * p_obs
+        )
     return jnp.where(valid, term, 0.0).sum(axis=1)
 
 
-@jax.jit
-def score_batch(batch: HcBatch, t: HcTables):
+@partial(jax.jit, static_argnames=("consensus",))
+def score_batch(batch: HcBatch, t: HcTables, bep=1e-4, consensus: bool = False):
     """final_vec over paths for one sharded batch of mappings."""
-    A = mapping_scores(batch, t)
+    A = mapping_scores(batch, t, bep, consensus)
     d = A - batch.b
     n_nodes = t.support.shape[0]
     c = jax.ops.segment_sum(d, batch.node, num_segments=n_nodes)
@@ -112,6 +127,7 @@ def synth_batch(
         b=jnp.asarray(b, dtype),
         node=jnp.asarray(node),
         valid=jnp.asarray(valid),
+        use_bep=jnp.zeros(M, dtype=bool),
     )
 
 
@@ -123,25 +139,30 @@ def synth_support(n_nodes: int = 11825, n_paths: int = 5179, seed: int = 1):
     return support.astype(np.float32)
 
 
-def batch_from_alignments(db, alignments, max_node_len: int = 8):
+def batch_from_alignments(db, alignments, max_node_len: int = 0,
+                          bucket_m: bool = True):
     """Build an HcBatch from real GAM alignments (device-scorer input).
 
     Host prep mirrors pipelines/haplocart.mapping_scalars (same quirks:
     read bases from the read start, per-mapping quality slices, whole-
     read unsupported penalty); the per-base math then runs on device.
-    Mappings longer than max_node_len are truncated to it (the real HC
-    graph has <=8bp nodes, `src/test.cpp:627`); pass a larger value for
-    graphs with longer nodes."""
+
+    max_node_len=0 (default) sizes the S axis to the batch's longest
+    mapping, rounded up to a multiple of 8 (the real HC graph has
+    <=8bp nodes, `src/test.cpp:627`, so S=8 there); a positive value
+    truncates mappings to it. The M axis is bucketed to the next
+    power-of-two-ish size with inert padding rows so ragged batches
+    reuse one compiled executable."""
     from ..graph.reconstruct import reconstruct_graph_sequence
     from ..models import phred
     from ..utils import dna
 
-    rows_g, rows_r, rows_q, rows_v = [], [], [], []
-    pang, mq, bvec, node = [], [], [], []
     qscore = phred.qscore_vec()
     log_q0 = float(np.log(qscore[0]))
-    S = max_node_len
-    col = np.arange(S)
+
+    # phase 1: host reconstruction + per-read scalars
+    recs = []  # (gcodes, rcodes, qual, size_m, starts, nidx, mq, b_read, bep_flag)
+    s_needed = 1
     for a in alignments:
         if a.identity < 1e-10 or not a.path.mappings:
             continue
@@ -162,6 +183,33 @@ def batch_from_alignments(db, alignments, max_node_len: int = 8):
             dtype=np.int64,
         )
         starts = np.concatenate([[0], np.cumsum(size_m)[:-1]])
+        # unsupported-path penalty over [pos, pos+L) of the padded
+        # quality array, via one cumulative sum per read
+        logq = np.log(qscore[np.clip(qual, 0, 99)])
+        cum = np.concatenate([[0.0], np.cumsum(logq)])
+        ends = starts + L
+        in_range = np.minimum(ends, len(qual))
+        b_read = (
+            cum[in_range] - cum[np.minimum(starts, len(qual))]
+            + (ends - in_range) * log_q0
+        )
+        nidx = np.array(
+            [m.position.node_id - db.graph.min_id for m in a.path.mappings],
+            dtype=np.int32,
+        )
+        bep_flag = bool((q_raw >= 90).any())
+        s_needed = max(s_needed, int(size_m.max(initial=0)))
+        recs.append((gcodes, rcodes, qual, size_m, starts, nidx,
+                     min(a.mapping_quality, 99), b_read, bep_flag))
+    if not recs:
+        return None
+
+    S = max_node_len if max_node_len > 0 else -(-s_needed // 8) * 8
+    col = np.arange(S)
+    rows_g, rows_r, rows_q, rows_v = [], [], [], []
+    pang, mq, bvec, node, use_bep = [], [], [], [], []
+    # phase 2: padded row assembly at the chosen S
+    for gcodes, rcodes, qual, size_m, starts, nidx, mqv, b_read, bf in recs:
         take = np.minimum(size_m, S)
         # all rows of this read in one gather
         idx = starts[:, None] + col[None, :]  # [n_map, S]
@@ -177,40 +225,92 @@ def batch_from_alignments(db, alignments, max_node_len: int = 8):
         qpad = np.zeros(len(qual) + S, dtype=np.int32)
         qpad[: len(qual)] = qual
         q_rows = np.where(v, qpad[np.minimum(idx, len(qpad) - 1)], 0)
-        # unsupported-path penalty over [pos, pos+L) of the padded
-        # quality array, via one cumulative sum per read
-        logq = np.log(qscore[np.clip(qual, 0, 99)])
-        cum = np.concatenate([[0.0], np.cumsum(logq)])
-        ends = starts + L
-        in_range = np.minimum(ends, len(qual))
-        b_read = (
-            cum[in_range] - cum[np.minimum(starts, len(qual))]
-            + (ends - in_range) * log_q0
-        )
-        nidx = np.array(
-            [m.position.node_id - db.graph.min_id for m in a.path.mappings],
-            dtype=np.int32,
-        )
+        n_map = len(size_m)
         rows_g.append(g_rows)
         rows_r.append(r_rows)
         rows_q.append(q_rows)
         rows_v.append(v)
         node.append(nidx)
         pang.append(db.pangenome_base[nidx].astype(np.int32))
-        mq.append(np.full(n_map, min(a.mapping_quality, 99), dtype=np.int32))
+        mq.append(np.full(n_map, mqv, dtype=np.int32))
         bvec.append(b_read)
-    if not node:
-        return None
+        use_bep.append(np.full(n_map, bf, dtype=bool))
+
+    g = np.concatenate(rows_g)
+    M = len(g)
+    pad = 0
+    if bucket_m:
+        # next power of two (>= 256) keeps the compile count ~log(M)
+        target = 256
+        while target < M:
+            target *= 2
+        pad = target - M
+
+    def _pad(x, fill=0):
+        if not pad:
+            return x
+        shape = (pad,) + x.shape[1:]
+        return np.concatenate([x, np.full(shape, fill, x.dtype)])
+
     return HcBatch(
-        g=jnp.asarray(np.concatenate(rows_g)),
-        r=jnp.asarray(np.concatenate(rows_r)),
-        q=jnp.asarray(np.concatenate(rows_q)),
-        pang=jnp.asarray(np.concatenate(pang)),
-        mq=jnp.asarray(np.concatenate(mq)),
-        b=jnp.asarray(np.concatenate(bvec)),
-        node=jnp.asarray(np.concatenate(node)),
-        valid=jnp.asarray(np.concatenate(rows_v)),
+        g=jnp.asarray(_pad(g, 255)),
+        r=jnp.asarray(_pad(np.concatenate(rows_r), 255)),
+        q=jnp.asarray(_pad(np.concatenate(rows_q))),
+        pang=jnp.asarray(_pad(np.concatenate(pang))),
+        mq=jnp.asarray(_pad(np.concatenate(mq))),
+        b=jnp.asarray(_pad(np.concatenate(bvec))),
+        node=jnp.asarray(_pad(np.concatenate(node))),
+        valid=jnp.asarray(_pad(np.concatenate(rows_v), False)),
+        use_bep=jnp.asarray(_pad(np.concatenate(use_bep), False)),
     )
+
+
+def _default_dtype():
+    """f64 on CPU (bit-parity with the host oracle in tests), f32 on
+    TPU (the axon compiler stalls on f64 graphs — see CLAUDE.md; f32 is
+    also the throughput dtype). Same platform-string rule as
+    infer/tree_mcmc.F."""
+    return (
+        jnp.float64
+        if str(jax.config.jax_platforms or "").startswith("cpu")
+        else jnp.float32
+    )
+
+
+def score_alignments_device(
+    db,
+    alignments,
+    background_error_prob: float = 1e-4,
+    is_consensus_fasta: bool = False,
+) -> np.ndarray:
+    """Production device scorer: the full `src/HaploCart.cpp:408-421`
+    batch on device (batch_from_alignments -> score_batch), replacing
+    the host per-alignment loop (pipelines/haplocart.score_alignments,
+    kept as the --precise f64 oracle). Tables are cached on the DB."""
+    from ..utils import guards
+
+    tables = getattr(db, "_device_tables", None)
+    if tables is None:
+        tables = make_tables_from_db(db, _default_dtype())
+        db._device_tables = tables
+    batch = batch_from_alignments(db, alignments)
+    if batch is None:
+        raise RuntimeError("[HaploCart] Error, no reads mapped")
+    dt = tables.support.dtype
+    batch = batch._replace(b=batch.b.astype(dt))
+    if is_consensus_fasta:
+        # consensus mode: eps comes from bep for every base
+        # (`src/HaploCart.cpp:394-399` sets the flag up front)
+        batch = batch._replace(use_bep=jnp.ones_like(batch.use_bep))
+    out = score_batch(
+        batch,
+        tables,
+        bep=jnp.asarray(background_error_prob, dt),
+        consensus=is_consensus_fasta,
+    )
+    out = np.asarray(out, dtype=np.float64)
+    guards.check_finite(out, "haplocart final_vec (device)")
+    return out
 
 
 def make_tables_from_db(db, dtype=jnp.float32) -> HcTables:

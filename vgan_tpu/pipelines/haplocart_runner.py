@@ -19,6 +19,7 @@ from ..io import fastx, gam
 from ..mapper.giraffe import BatchedMapper as Mapper
 from ..utils.profiling import PROFILER
 from . import haplocart as hc
+from . import haplocart_device as hc_device
 
 
 @dataclass
@@ -37,6 +38,9 @@ class HaplocartConfig:
     webapp: bool = False
     k: int = 31
     w: int = 11
+    # True: host f64 oracle loop (pipelines/haplocart.score_alignments);
+    # False (default): batched device scorer (haplocart_device.score_batch)
+    precise: bool = False
 
 
 def load_db(db_dir: str) -> hc.HaplocartDB:
@@ -193,13 +197,24 @@ def run_sample(
     alignments = hc.remove_duplicates(alignments)
     n_reads = len(alignments)
     with PROFILER.stage("score", items=n_reads):
-        final_vec = hc.score_alignments(
-            db,
-            alignments,
-            use_background_error_prob=is_consensus,
-            background_error_prob=cfg.background_error_prob,
-            is_consensus_fasta=is_consensus,
-        )
+        if cfg.precise:
+            # host f64 oracle (the reference's exact accumulator order)
+            final_vec = hc.score_alignments(
+                db,
+                alignments,
+                use_background_error_prob=is_consensus,
+                background_error_prob=cfg.background_error_prob,
+                is_consensus_fasta=is_consensus,
+            )
+        else:
+            # production path: one batched device pass
+            # (`src/HaploCart.cpp:408-421` as a single jitted step)
+            final_vec = hc_device.score_alignments_device(
+                db,
+                alignments,
+                background_error_prob=cfg.background_error_prob,
+                is_consensus_fasta=is_consensus,
+            )
     pred = hc.predict(db, final_vec)
     return pred, n_reads, final_vec
 
