@@ -109,12 +109,33 @@ def test_native_gam_codec(ref, toy_reads):
 
 
 def test_native_gam_codec_large(ref):
+    """Byte-parity between the production C++ codec (the default
+    read_gam path) and the pure-Python decoder on a real 81-read GAM —
+    including qualities containing phred-0 (NUL) bytes, which
+    regressed once via a c_char_p truncation."""
     from vgan_tpu.io import gam, gam_native
 
     if not gam_native.available():
         pytest.skip("native codec unavailable")
     p = str(ref / "test/input_files/alignments/J2a1a1a1.gam")
-    assert len(gam_native.read_gam_fast(p)) == len(gam.read_gam(p))
+    native = gam_native.read_gam_native(p)
+    py = gam.read_gam(p, native=False)
+    assert native is not None and len(native) == len(py)
+    assert any(0 in a.quality for a in py)  # the hard case is present
+    for a, b in zip(py, native):
+        assert (a.sequence, a.name, a.quality, a.mapping_quality,
+                a.score, a.identity, a.read_paired) == (
+            b.sequence, b.name, b.quality, b.mapping_quality,
+            b.score, b.identity, b.read_paired)
+        assert len(a.path.mappings) == len(b.path.mappings)
+        for ma, mb in zip(a.path.mappings, b.path.mappings):
+            assert (ma.position.node_id, ma.position.offset,
+                    ma.position.is_reverse, ma.rank) == (
+                mb.position.node_id, mb.position.offset,
+                mb.position.is_reverse, mb.rank)
+            assert [
+                (e.from_length, e.to_length, e.sequence) for e in ma.edits
+            ] == [(e.from_length, e.to_length, e.sequence) for e in mb.edits]
 
 
 def test_read_vg_matches_gfa_twin(ref):

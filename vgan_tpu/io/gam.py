@@ -227,7 +227,17 @@ def iter_messages(payload: bytes) -> Iterator[bytes]:
             p += ml
 
 
-def read_gam(path: str) -> List[Alignment]:
+def read_gam(path: str, native: bool = True) -> List[Alignment]:
+    """Decode a GAM file. Delegates to the C++ codec
+    (cpp/gamcodec.cpp, the production hot path — CLAUDE.md rule) when
+    the native lib is built; the pure-Python decode below is the
+    fallback and the byte-parity oracle (tests/test_io.py)."""
+    if native:
+        from . import gam_native
+
+        out = gam_native.read_gam_native(path)
+        if out is not None:
+            return out
     payload = bgzf.read_file(path)
     return [parse_alignment(m) for m in iter_messages(payload)]
 

@@ -51,8 +51,13 @@ def _load():
         fn.restype = ctypes.c_int64
         fn.argtypes = [ctypes.c_void_p]
     ptrs = {
-        "gam_seqs": ctypes.c_char_p, "gam_names": ctypes.c_char_p,
-        "gam_quals": ctypes.c_char_p, "gam_eseqs": ctypes.c_char_p,
+        # char buffers come back as raw addresses (c_void_p), NOT
+        # c_char_p: ctypes converts a c_char_p return value to a bytes
+        # object truncated at the first NUL — quality strings contain
+        # phred-0 bytes, so string_at on the truncated copy read heap
+        # garbage past it.
+        "gam_seqs": ctypes.c_void_p, "gam_names": ctypes.c_void_p,
+        "gam_quals": ctypes.c_void_p, "gam_eseqs": ctypes.c_void_p,
         "gam_seq_off": ctypes.POINTER(ctypes.c_int64),
         "gam_name_off": ctypes.POINTER(ctypes.c_int64),
         "gam_qual_off": ctypes.POINTER(ctypes.c_int64),
@@ -169,14 +174,15 @@ def read_gam_columns(path: str) -> Optional[GamColumns]:
         lib.gam_free(h)
 
 
-def read_gam_fast(path: str):
+def read_gam_native(path: str):
     """Read a GAM via the native codec, returning the same Alignment
-    objects as io.gam.read_gam; falls back to pure python."""
+    objects as io.gam's pure-Python decode. Returns None when the
+    native lib is unavailable (caller falls back)."""
     from . import gam as pygam
 
     cols = read_gam_columns(path)
     if cols is None:
-        return pygam.read_gam(path)
+        return None
     out: List[pygam.Alignment] = []
     for i in range(cols.n_reads):
         a = pygam.Alignment(
@@ -210,3 +216,14 @@ def read_gam_fast(path: str):
             a.path.mappings.append(mp)
         out.append(a)
     return out
+
+
+def read_gam_fast(path: str):
+    """Native-codec GAM read with pure-Python fallback (legacy name;
+    io.gam.read_gam now routes here by default)."""
+    out = read_gam_native(path)
+    if out is not None:
+        return out
+    from . import gam as pygam
+
+    return pygam.read_gam(path, native=False)
