@@ -112,6 +112,44 @@ def test_batched_mapper_agrees(toy_graph, ref, toy_reads):
             assert ga == gb, a.name
 
 
+def test_fast_batch_parity():
+    """The vectorized native batch path (mapper/batch_map.py) produces
+    bit-identical alignments — scores, MQ, identity, full mapping/edit
+    structure — to the object-based path it replaces, on an
+    mtDNA-scale world with errors/indels."""
+    from vgan_tpu.graph.synth import build_haplotype_graph, sample_reads
+    from vgan_tpu.io.fastx import read_fasta
+    from vgan_tpu.mapper import batch_map
+    from vgan_tpu.mapper.giraffe import BatchedMapper
+
+    if batch_map.load_native() is None:
+        pytest.skip("native lib unavailable")
+    seqs, _ = read_fasta("/root/reference/test/input_files/rCRS.fa")
+    graph, _ = build_haplotype_graph(
+        seqs[0][:6000], n_haplotypes=8, n_variants=40, seed=3
+    )
+    mapper = BatchedMapper(graph, k=20, w=10)
+    reads = sample_reads(graph, 2, n_reads=300, seed=0)
+    old = mapper._map_reads_obj(reads)
+    new = mapper.map_reads(reads)
+
+    def key(a):
+        return (
+            a.score, a.mapping_quality, round(a.identity, 12),
+            [
+                (m.position.node_id, m.position.offset,
+                 m.position.is_reverse,
+                 [(e.from_length, e.to_length, e.sequence)
+                  for e in m.edits])
+                for m in a.path.mappings
+            ],
+        )
+
+    for a, b in zip(old, new):
+        assert (a.identity != 0) == (b.identity != 0), a.name
+        assert key(a) == key(b), a.name
+
+
 def test_native_graph_aligner_parity(toy_graph, ref):
     """Native C++ graph aligner produces identical walks to the python
     reference on the fixture reads."""

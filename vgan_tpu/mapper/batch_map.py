@@ -1,0 +1,595 @@
+"""Fully-vectorized batch mapping path (host side).
+
+The production fast path behind `BatchedMapper.map_reads`: seeding,
+candidate packing, content dedup, winner selection and GAM projection
+all run as numpy array passes + ONE native C++ call
+(cpp/mapfinalize.cpp) — no per-read Python loops. The device scores
+every candidate window in one `sw_scores_xla` dispatch, exactly like
+the object-based path it replaces (giraffe.py::_gather_candidates),
+and produces identical alignments (tests/test_mapper.py::
+test_fast_batch_parity).
+
+This is the TPU-native replacement for the reference's in-process
+`vg giraffe` invocation (`src/map_giraffe.cpp:82-86`): the reference
+maps reads with OpenMP threads inside vg; here the alignment-scoring
+FLOPs ride the TPU and the irregular finalize work is one C++ batch
+call on the host.
+"""
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional
+
+import numpy as np
+
+from ..io import gam
+from ..utils import dna
+from .align import FULL_LENGTH_BONUS
+from .index import _path_codes
+
+# 256-entry complement LUT (codes 0..7 complemented, rest identity)
+_COMP256 = np.arange(256, dtype=np.uint8)
+_COMP256[:8] = dna._COMP
+
+_POW1 = None
+_POW2 = None
+
+
+def _pows(n: int):
+    """Powers of two odd 64-bit bases for the content-dedup hash
+    (wrapping mod 2^64)."""
+    global _POW1, _POW2
+    if _POW1 is None or len(_POW1) < n:
+        m = max(n, 512)
+
+        def mk(base):
+            x = np.full(m, base, dtype=np.uint64)
+            x[0] = 1
+            return np.multiply.accumulate(x)
+
+        _POW1 = mk(0x9E3779B97F4A7C15)
+        _POW2 = mk(0xC2B2AE3D27D4EB4F)
+    return _POW1[:n], _POW2[:n]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _bucket_rows(n: int) -> int:
+    """Row-count bucket for the device scorer (limits recompiles)."""
+    b = 512
+    while b < n:
+        b *= 2
+    return b
+
+
+# ---------------------------------------------------------------- native lib
+_lib = None
+_lib_checked = False
+
+
+def load_native():
+    global _lib, _lib_checked
+    if _lib_checked:
+        return _lib
+    _lib_checked = True
+    try:
+        from ..io.gam_native import _LIB_PATH, build
+        import os
+
+        if not os.path.exists(_LIB_PATH):
+            build()
+        lib = ctypes.CDLL(_LIB_PATH)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.map_finalize_batch.restype = ctypes.c_int64
+        lib.map_finalize_batch.argtypes = [
+            u8p, i64p, ctypes.c_int64,                       # reads
+            u8p, f32p, f32p, u8p, i32p, u8p, i64p, i64p, i32p,  # winners
+            u8p, i64p,                                       # path codes
+            i32p, u8p, i64p, i64p, i64p,                     # path steps
+            i64p, ctypes.c_int64,                            # node_len, min_id
+            u8p, i64p, i64p, i64p, i32p, i64p,               # window ref+CSR
+            i32p, i32p, i32p, u8p, i64p,                     # window pos+handles
+            i32p, f64p, i32p, i32p,                          # per-read out
+            i64p, i32p, u8p, i32p, ctypes.c_int64,           # mappings out
+            i32p, i32p, i32p, ctypes.c_int64,                # edits out
+            ctypes.c_char_p, ctypes.c_int64,                 # eseq out
+            i64p,                                            # counts
+        ]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def _p(a, t):
+    return a.ctypes.data_as(ctypes.POINTER(t))
+
+
+# ---------------------------------------------------------------- pools
+class NativePools:
+    """Concatenated per-path code/step pools shared with the C++ call.
+
+    Grows lazily as paths are touched; rebuilt (cheap concat) only when
+    a new path appears."""
+
+    def __init__(self, graph, path_cache):
+        self.graph = graph
+        self.codes = path_cache  # path -> codes (shared with mapper)
+        self._steps = {}
+        self._dirty = True
+        self.node_len = np.ascontiguousarray(
+            np.diff(graph.node_off).astype(np.int64)
+        )
+        n_paths = graph.n_paths
+        self.pc_beg = np.zeros(n_paths, dtype=np.int64)
+        self.pc_len = np.zeros(n_paths, dtype=np.int64)
+        self.st_beg = np.zeros(n_paths, dtype=np.int64)
+        self.st_cnt = np.zeros(n_paths, dtype=np.int64)
+        self.pc_buf = np.zeros(0, dtype=np.uint8)
+        self.ps_node = np.zeros(0, dtype=np.int32)
+        self.ps_rev = np.zeros(0, dtype=np.uint8)
+        self.ps_start = np.zeros(0, dtype=np.int64)
+
+    def ensure(self, paths) -> None:
+        g = self.graph
+        for p in paths:
+            p = int(p)
+            if p not in self.codes:
+                self.codes[p] = _path_codes(g, p)
+                self._dirty = True
+            if p not in self._steps:
+                self._steps[p] = (
+                    np.ascontiguousarray(g.path_steps_node[p], dtype=np.int32),
+                    np.ascontiguousarray(
+                        g.path_steps_rev[p], dtype=np.uint8
+                    ),
+                    np.ascontiguousarray(g.step_offsets(p), dtype=np.int64),
+                )
+                self._dirty = True
+
+    def arrays(self):
+        if self._dirty:
+            keys = sorted(self._steps)
+            pc_parts, sn_parts, sr_parts, ss_parts = [], [], [], []
+            pc_pos = st_pos = 0
+            for p in keys:
+                c = self.codes[p]
+                sn, sr, ss = self._steps[p]
+                self.pc_beg[p] = pc_pos
+                self.pc_len[p] = len(c)
+                self.st_beg[p] = st_pos
+                self.st_cnt[p] = len(sn)
+                pc_pos += len(c)
+                st_pos += len(sn)
+                pc_parts.append(c)
+                sn_parts.append(sn)
+                sr_parts.append(sr)
+                ss_parts.append(ss)
+            self.pc_buf = (
+                np.ascontiguousarray(np.concatenate(pc_parts))
+                if pc_parts
+                else np.zeros(0, dtype=np.uint8)
+            )
+            self.ps_node = (
+                np.concatenate(sn_parts) if sn_parts else np.zeros(0, np.int32)
+            )
+            self.ps_rev = (
+                np.concatenate(sr_parts) if sr_parts else np.zeros(0, np.uint8)
+            )
+            self.ps_start = (
+                np.concatenate(ss_parts) if ss_parts else np.zeros(0, np.int64)
+            )
+            self._dirty = False
+        return self
+
+
+def _pack_window(win):
+    """(ref, pred_off, pred_idx, pos_handle, pos_offset, h_node, h_rev)
+    cached on the Window object."""
+    packed = getattr(win, "_packed", None)
+    if packed is None:
+        from .graph_align import _window_csr
+
+        ref, off, idx = _window_csr(win)
+        h_node = np.array([h[0] for h in win.handles], dtype=np.int32)
+        h_rev = np.array([1 if h[1] else 0 for h in win.handles],
+                         dtype=np.uint8)
+        packed = (
+            np.ascontiguousarray(ref),
+            np.ascontiguousarray(off, dtype=np.int64),
+            np.ascontiguousarray(idx, dtype=np.int32),
+            np.ascontiguousarray(win.pos_handle, dtype=np.int32),
+            np.ascontiguousarray(win.pos_offset, dtype=np.int32),
+            h_node,
+            h_rev,
+        )
+        win._packed = packed
+    return packed
+
+
+# ---------------------------------------------------------------- gather
+class BatchResult:
+    """Per-read winner table + candidate arrays from one gather pass."""
+
+    __slots__ = (
+        "read_codes", "read_lens", "cand_read", "cand_path", "cand_strand",
+        "cand_lo", "cand_wlen", "scores", "w_has", "w_cand", "w_second",
+        "w_has2",
+    )
+
+
+def gather_and_score(mapper, reads, max_candidates: int = 8,
+                     pad: int = 24) -> Optional[BatchResult]:
+    """Seed + cluster + pack + dedup + device-score + winner-select for
+    a whole batch, all as array passes. Returns None when nothing
+    seeded (all reads unmapped)."""
+    from .giraffe import seed_and_cluster_arrays
+    from .sw_pallas import sw_scores_xla
+
+    n_reads = len(reads)
+    read_codes = [dna.encode(r.seq) for r in reads]
+    read_lens = np.array([len(c) for c in read_codes], dtype=np.int64)
+    arrs = seed_and_cluster_arrays(
+        mapper.index, read_codes, ry_index=mapper.ry_index
+    )
+    if arrs is None:
+        return None
+    c_read, c_path, c_strand, c_dlo, c_dhi, c_size = arrs
+    n = len(c_read)
+
+    # top-K clusters per read by n_seeds (stable in cluster order)
+    order = np.lexsort((np.arange(n), -c_size, c_read))
+    c_read = c_read[order]
+    c_path = c_path[order]
+    c_strand = c_strand[order]
+    c_dlo = c_dlo[order]
+    c_dhi = c_dhi[order]
+    first = np.ones(n, dtype=bool)
+    first[1:] = c_read[1:] != c_read[:-1]
+    grp_start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+    rank = np.arange(n) - grp_start
+    keep = rank < max_candidates
+    c_read, c_path, c_strand, c_dlo, c_dhi = (
+        c_read[keep], c_path[keep], c_strand[keep], c_dlo[keep], c_dhi[keep]
+    )
+
+    # window spans on the haplotype linearization
+    mapper._pools.ensure(np.unique(c_path))
+    pools = mapper._pools.arrays()
+    L = read_lens[c_read]
+    lo = np.maximum(0, c_dlo - pad)
+    hi = np.minimum(pools.pc_len[c_path], c_dhi + L + pad)
+    ok = hi > lo
+    c_read, c_path, c_strand, lo, hi, L = (
+        c_read[ok], c_path[ok], c_strand[ok], lo[ok], hi[ok], L[ok]
+    )
+    m = len(c_read)
+    if m == 0:
+        return None
+    wlen = hi - lo
+
+    # window content matrix (one gather from the pooled path codes)
+    Wmax = _round_up(int(wlen.max()), 64)
+    jj = np.arange(Wmax, dtype=np.int64)
+    gpos = pools.pc_beg[c_path][:, None] + lo[:, None] + jj[None, :]
+    np.clip(gpos, 0, max(len(pools.pc_buf) - 1, 0), out=gpos)
+    wmask = jj[None, :] < wlen[:, None]
+    warr8 = np.where(wmask, pools.pc_buf[gpos], np.uint8(255))
+
+    # content dedup per (read, strand): keep first in cluster order
+    p1, p2 = _pows(Wmax)
+    h1 = (warr8.astype(np.uint64) + np.uint64(1)) @ p1
+    h2 = (warr8.astype(np.uint64) + np.uint64(1)) @ p2
+    pos_in = np.arange(m)
+    ordd = np.lexsort((pos_in, h2, h1, wlen, c_strand, c_read))
+    rs, ss, w_s, h1s, h2s = (
+        c_read[ordd], c_strand[ordd], wlen[ordd], h1[ordd], h2[ordd]
+    )
+    dup = np.zeros(m, dtype=bool)
+    dup[1:] = (
+        (rs[1:] == rs[:-1]) & (ss[1:] == ss[:-1]) & (w_s[1:] == w_s[:-1])
+        & (h1s[1:] == h1s[:-1]) & (h2s[1:] == h2s[:-1])
+    )
+    kept_rows = np.sort(ordd[~dup])
+    c_read, c_path, c_strand, lo, wlen, L = (
+        c_read[kept_rows], c_path[kept_rows], c_strand[kept_rows],
+        lo[kept_rows], wlen[kept_rows], L[kept_rows],
+    )
+    warr8 = warr8[kept_rows]
+    m = len(c_read)
+
+    # oriented query matrix
+    Rmax = _round_up(int(L.max()), 32)
+    reads_mat = np.full((n_reads, Rmax), 255, dtype=np.uint8)
+    for i, c in enumerate(read_codes):
+        reads_mat[i, : len(c)] = c
+    jr = np.arange(Rmax, dtype=np.int64)
+    flip = c_strand[:, None] == 1
+    idx = np.where(flip, L[:, None] - 1 - jr[None, :], jr[None, :])
+    np.clip(idx, 0, Rmax - 1, out=idx)
+    vals = reads_mat[c_read[:, None], idx]
+    vals = np.where(flip, _COMP256[vals], vals)
+    qmask = jr[None, :] < L[:, None]
+    qarr8 = np.where(qmask, vals, np.uint8(255))
+
+    # device scoring (row-bucketed to bound recompiles)
+    Mb = _bucket_rows(m)
+    qarr = np.full((Mb, Rmax), 255, dtype=np.int32)
+    warr = np.full((Mb, Wmax), 255, dtype=np.int32)
+    qarr[:m] = qarr8
+    warr[:m] = warr8
+    rlen = np.zeros(Mb, dtype=np.int32)
+    wl32 = np.zeros(Mb, dtype=np.int32)
+    rlen[:m] = L
+    wl32[:m] = wlen
+    scores = np.asarray(sw_scores_xla(qarr, warr, rlen, wl32))[:m]
+
+    # winner + runner-up per read
+    ordw = np.lexsort((np.arange(m), -scores, c_read))
+    rw = c_read[ordw]
+    fw = np.ones(m, dtype=bool)
+    fw[1:] = rw[1:] != rw[:-1]
+    first_idx = np.nonzero(fw)[0]
+    win_rows = ordw[first_idx]
+    has2 = np.zeros(len(first_idx), dtype=bool)
+    second = np.full(len(first_idx), -1e30, dtype=np.float32)
+    nxt = first_idx + 1
+    ok2 = (nxt < m) & (np.append(rw[1:], -1)[first_idx] == rw[first_idx])
+    has2[ok2] = True
+    second[ok2] = scores[ordw[np.minimum(nxt, m - 1)]][ok2]
+
+    out = BatchResult()
+    out.read_codes = read_codes
+    out.read_lens = read_lens
+    out.cand_read = c_read
+    out.cand_path = c_path
+    out.cand_strand = c_strand
+    out.cand_lo = lo
+    out.cand_wlen = wlen
+    out.scores = scores
+    out.w_has = np.zeros(n_reads, dtype=np.uint8)
+    out.w_cand = np.full(n_reads, -1, dtype=np.int64)
+    out.w_second = np.full(n_reads, -1e30, dtype=np.float32)
+    out.w_has2 = np.zeros(n_reads, dtype=np.uint8)
+    rr = rw[first_idx]
+    out.w_has[rr] = 1
+    out.w_cand[rr] = win_rows
+    out.w_second[rr] = second
+    out.w_has2[rr] = has2
+    return out
+
+
+# ---------------------------------------------------------------- finalize
+def finalize_batch(mapper, reads, br: Optional[BatchResult]
+                   ) -> List[gam.Alignment]:
+    """Run the native batch finalize and materialize gam.Alignments."""
+    lib = load_native()
+    assert lib is not None
+    n_reads = len(reads)
+    graph = mapper.graph
+    pools = mapper._pools.arrays()
+
+    if br is None:
+        return [
+            gam.Alignment(sequence=r.seq, name=r.name,
+                          quality=bytes(r.qual or b""))
+            for r in reads
+        ]
+
+    # per-read winner tables
+    w_has = br.w_has.copy()
+    w_score = np.zeros(n_reads, dtype=np.float32)
+    w_path = np.zeros(n_reads, dtype=np.int32)
+    w_strand = np.zeros(n_reads, dtype=np.uint8)
+    w_lo = np.zeros(n_reads, dtype=np.int64)
+    w_wlen = np.zeros(n_reads, dtype=np.int64)
+    w_win = np.full(n_reads, -1, dtype=np.int32)
+    sel = br.w_cand
+    hasw = w_has == 1
+    rows = sel[hasw]
+    w_score[hasw] = br.scores[rows]
+    w_path[hasw] = br.cand_path[rows]
+    w_strand[hasw] = br.cand_strand[rows]
+    w_lo[hasw] = br.cand_lo[rows]
+    w_wlen[hasw] = br.cand_wlen[rows]
+
+    # graph windows for non-perfect winners (bucket-cached)
+    perfect = np.zeros(n_reads, dtype=bool)
+    perfect[hasw] = (
+        w_score[hasw] == (br.read_lens[hasw] + 2 * FULL_LENGTH_BONUS)
+    )
+    need_win = hasw & ~perfect
+    if not hasattr(mapper, "_win_cache"):
+        mapper._win_cache = {}
+    from .graph_align import build_window
+
+    win_list = []
+    win_ids = {}
+    for i in np.nonzero(need_win)[0]:
+        lo_b = (int(w_lo[i]) // 128) * 128
+        hi_b = -(-(int(w_lo[i]) + int(w_wlen[i])) // 128) * 128
+        wkey = (int(w_path[i]), lo_b, hi_b)
+        wid = win_ids.get(wkey)
+        if wid is None:
+            win = mapper._win_cache.get(wkey)
+            if win is None:
+                win = build_window(graph, wkey[0], lo_b, hi_b)
+                mapper._win_cache[wkey] = win
+            if win is None:
+                w_has[i] = 0  # empty path: unmapped
+                continue
+            wid = len(win_list)
+            win_ids[wkey] = wid
+            win_list.append(_pack_window(win))
+        w_win[i] = wid
+
+    # pack windows
+    def _begs(parts):
+        b = np.zeros(len(parts), dtype=np.int64)
+        if len(parts) > 1:
+            np.cumsum([len(p) for p in parts[:-1]], out=b[1:])
+        return b
+
+    if win_list:
+        wref = np.concatenate([w[0] for w in win_list])
+        wref_off = np.zeros(len(win_list) + 1, dtype=np.int64)
+        np.cumsum([len(w[0]) for w in win_list], out=wref_off[1:])
+        wpo = np.concatenate([w[1] for w in win_list])
+        wpo_beg = _begs([w[1] for w in win_list])
+        wpi = np.concatenate([w[2] for w in win_list])
+        wpi_beg = _begs([w[2] for w in win_list])
+        wpos_h = np.concatenate([w[3] for w in win_list])
+        wpos_o = np.concatenate([w[4] for w in win_list])
+        wh_node = np.concatenate([w[5] for w in win_list])
+        wh_rev = np.concatenate([w[6] for w in win_list])
+        wh_beg = _begs([w[5] for w in win_list])
+    else:
+        wref = np.zeros(0, dtype=np.uint8)
+        wref_off = np.zeros(1, dtype=np.int64)
+        wpo = np.zeros(0, dtype=np.int64)
+        wpo_beg = np.zeros(1, dtype=np.int64)
+        wpi = np.zeros(0, dtype=np.int32)
+        wpi_beg = np.zeros(1, dtype=np.int64)
+        wpos_h = np.zeros(0, dtype=np.int32)
+        wpos_o = np.zeros(0, dtype=np.int32)
+        wh_node = np.zeros(0, dtype=np.int32)
+        wh_rev = np.zeros(0, dtype=np.uint8)
+        wh_beg = np.zeros(1, dtype=np.int64)
+
+    # reads buffer
+    read_off = np.zeros(n_reads + 1, dtype=np.int64)
+    np.cumsum(br.read_lens, out=read_off[1:])
+    read_buf = (
+        np.concatenate(br.read_codes)
+        if n_reads
+        else np.zeros(0, dtype=np.uint8)
+    )
+    read_buf = np.ascontiguousarray(read_buf, dtype=np.uint8)
+
+    # outputs
+    Lmax = int(br.read_lens.max()) if n_reads else 0
+    map_cap = int(n_reads * max(Lmax, 1) + 16)
+    edit_cap = int(n_reads * (2 * max(Lmax, 1) + 4) + 16)
+    eseq_cap = int(n_reads * (2 * max(Lmax, 1) + 4) + 16)
+    o_score = np.zeros(n_reads, dtype=np.int32)
+    o_ident = np.zeros(n_reads, dtype=np.float64)
+    o_mq = np.zeros(n_reads, dtype=np.int32)
+    o_nmap = np.zeros(n_reads, dtype=np.int32)
+    o_mnode = np.zeros(map_cap, dtype=np.int64)
+    o_moff = np.zeros(map_cap, dtype=np.int32)
+    o_mrev = np.zeros(map_cap, dtype=np.uint8)
+    o_mne = np.zeros(map_cap, dtype=np.int32)
+    o_efrom = np.zeros(edit_cap, dtype=np.int32)
+    o_eto = np.zeros(edit_cap, dtype=np.int32)
+    o_eslen = np.zeros(edit_cap, dtype=np.int32)
+    o_eseq = ctypes.create_string_buffer(eseq_cap)
+    counts = np.zeros(3, dtype=np.int64)
+
+    i32, i64, u8, f32, f64 = (
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_uint8, ctypes.c_float,
+        ctypes.c_double,
+    )
+    rc = lib.map_finalize_batch(
+        _p(read_buf, u8), _p(read_off, i64), n_reads,
+        _p(w_has, u8), _p(w_score, f32), _p(br.w_second, f32),
+        _p(br.w_has2, u8), _p(w_path, i32), _p(w_strand, u8),
+        _p(w_lo, i64), _p(w_wlen, i64), _p(w_win, i32),
+        _p(pools.pc_buf, u8), _p(pools.pc_beg, i64),
+        _p(pools.ps_node, i32), _p(pools.ps_rev, u8),
+        _p(pools.ps_start, i64), _p(pools.st_beg, i64),
+        _p(pools.st_cnt, i64),
+        _p(pools.node_len, i64), graph.min_id,
+        _p(wref, u8), _p(wref_off, i64), _p(wpo, i64), _p(wpo_beg, i64),
+        _p(wpi, i32), _p(wpi_beg, i64),
+        _p(wpos_h, i32), _p(wpos_o, i32),
+        _p(wh_node, i32), _p(wh_rev, u8), _p(wh_beg, i64),
+        _p(o_score, i32), _p(o_ident, f64), _p(o_mq, i32), _p(o_nmap, i32),
+        _p(o_mnode, i64), _p(o_moff, i32), _p(o_mrev, u8), _p(o_mne, i32),
+        map_cap,
+        _p(o_efrom, i32), _p(o_eto, i32), _p(o_eslen, i32), edit_cap,
+        o_eseq, eseq_cap,
+        _p(counts, i64),
+    )
+    if rc != 0:
+        raise RuntimeError(f"map_finalize_batch overflow at read {-rc - 1}")
+
+    # materialize
+    eseq = o_eseq.raw
+    out: List[gam.Alignment] = []
+    mi = ei = si = 0
+    Alignment, Path, Mapping, Position, Edit = (
+        gam.Alignment, gam.Path, gam.Mapping, gam.Position, gam.Edit
+    )
+    retry = []
+    for i, r in enumerate(reads):
+        nm = int(o_nmap[i])
+        a = Alignment(sequence=r.seq, name=r.name,
+                      quality=bytes(r.qual or b""))
+        if nm == -2:
+            retry.append(i)
+            out.append(a)
+            continue
+        if nm > 0:
+            mappings = []
+            for k in range(nm):
+                ne = int(o_mne[mi])
+                edits = []
+                for _ in range(ne):
+                    sl = int(o_eslen[ei])
+                    seq = eseq[si : si + sl].decode() if sl else ""
+                    edits.append(
+                        Edit(int(o_efrom[ei]), int(o_eto[ei]), seq)
+                    )
+                    si += sl
+                    ei += 1
+                mappings.append(
+                    Mapping(
+                        position=Position(
+                            node_id=int(o_mnode[mi]),
+                            offset=int(o_moff[mi]),
+                            is_reverse=bool(o_mrev[mi]),
+                        ),
+                        edits=edits,
+                        rank=k + 1,
+                    )
+                )
+                mi += 1
+            a.path = Path(mappings=mappings)
+            a.score = int(o_score[i])
+            a.identity = float(o_ident[i])
+            a.mapping_quality = int(o_mq[i])
+        out.append(a)
+
+    # rare retries (perfect-score search miss with no window built):
+    # run the per-read slow path
+    for i in retry:
+        row = int(br.w_cand[i])
+        from .giraffe import Candidate
+
+        cand = Candidate(
+            path=int(br.cand_path[row]),
+            strand=bool(br.cand_strand[row]),
+            diag_lo=0, diag_hi=0, n_seeds=0,
+        )
+        cand_rec = (
+            i, cand,
+            pools.pc_buf[
+                pools.pc_beg[cand.path] + br.cand_lo[row] :
+                pools.pc_beg[cand.path] + br.cand_lo[row] + br.cand_wlen[row]
+            ],
+            int(br.cand_lo[row]),
+        )
+        second = (
+            float(br.w_second[i]) if br.w_has2[i] else None
+        )
+        out[i] = mapper._finalize(
+            reads[i], br.read_codes[i], cand_rec,
+            float(br.scores[row]), second,
+        )
+    return out

@@ -442,7 +442,29 @@ class BatchedMapper(Mapper):
             self._path_cache_d = {}
         return self._path_cache_d
 
+    @property
+    def _pools(self):
+        if not hasattr(self, "_pools_o"):
+            from .batch_map import NativePools
+
+            self._pools_o = NativePools(self.graph, self._path_cache)
+        return self._pools_o
+
     def map_reads(self, reads, max_candidates: int = 8, pad: int = 24):
+        """Batch mapping. Fast path: vectorized gather + one native C++
+        finalize (mapper/batch_map.py); object path kept as the oracle
+        (tests assert parity) and the fallback when the native lib is
+        unavailable."""
+        from . import batch_map
+
+        if not reads:
+            return []
+        if batch_map.load_native() is None:
+            return self._map_reads_obj(reads, max_candidates, pad)
+        br = batch_map.gather_and_score(self, reads, max_candidates, pad)
+        return batch_map.finalize_batch(self, reads, br)
+
+    def _map_reads_obj(self, reads, max_candidates: int = 8, pad: int = 24):
         read_codes, all_cands, scores, best_of = self._gather_candidates(
             reads, max_candidates, pad
         )
@@ -735,13 +757,13 @@ def _batch_hits(index: MinimizerIndex, read_codes_list, read_lens):
     return rid[qidx], path, strand.astype(np.int64), diag
 
 
-def seed_and_cluster_batch(
+def seed_and_cluster_arrays(
     index: MinimizerIndex,
     read_codes_list,
     max_diag_gap: int = 48,
     ry_index: Optional[MinimizerIndex] = None,
 ):
-    """Vectorized seeding for a whole read batch.
+    """Vectorized seeding for a whole read batch, flat-array output.
 
     All k-mers of all reads are hashed and looked up in one numpy pass
     (searchsorted join against the sorted index hashes), postings are
@@ -749,9 +771,11 @@ def seed_and_cluster_batch(
     (read, path, strand, diagonal) — no per-hit Python loops.
     With ry_index (SAFARI damage-aware mode) RYmer-space hits are
     merged in before clustering, so seeds broken by C->T/G->A
-    deamination still anchor candidates. Returns per-read lists of
-    Candidates (same semantics as seed_and_cluster)."""
-    n_reads = len(read_codes_list)
+    deamination still anchor candidates.
+
+    Returns (read, path, strand, diag_lo, diag_hi, n_seeds) arrays in
+    (read, path, strand, diag) order, or None when there are no hits.
+    """
     read_lens = np.array([len(c) for c in read_codes_list], dtype=np.int64)
     read_of, path, strand, diag = _batch_hits(index, read_codes_list, read_lens)
     if ry_index is not None:
@@ -762,7 +786,7 @@ def seed_and_cluster_batch(
         diag = np.concatenate([diag, d2])
     total = len(read_of)
     if total == 0:
-        return [[] for _ in range(n_reads)]
+        return None
 
     order = np.lexsort((diag, strand, path, read_of))
     read_s = read_of[order]
@@ -777,20 +801,43 @@ def seed_and_cluster_batch(
         | (strand_s[1:] != strand_s[:-1])
         | (diag_s[1:] - diag_s[:-1] > max_diag_gap)
     )
-    cluster_id = np.cumsum(new_cluster) - 1
-    n_clusters = int(cluster_id[-1]) + 1
     first = np.nonzero(new_cluster)[0]
     sizes = np.diff(np.concatenate([first, [total]]))
+    last = first + sizes - 1
+    return (
+        read_s[first],
+        path_s[first],
+        strand_s[first],
+        diag_s[first],
+        diag_s[last],
+        sizes,
+    )
+
+
+def seed_and_cluster_batch(
+    index: MinimizerIndex,
+    read_codes_list,
+    max_diag_gap: int = 48,
+    ry_index: Optional[MinimizerIndex] = None,
+):
+    """Per-read Candidate lists (sorted by -n_seeds, stable) built from
+    seed_and_cluster_arrays — the object API used by the paired-end
+    path and the tests."""
+    n_reads = len(read_codes_list)
+    arrs = seed_and_cluster_arrays(
+        index, read_codes_list, max_diag_gap, ry_index
+    )
     out = [[] for _ in range(n_reads)]
-    for ci in range(n_clusters):
-        f = first[ci]
-        l = f + sizes[ci] - 1
-        out[int(read_s[f])].append(
+    if arrs is None:
+        return out
+    read, path, strand, dlo, dhi, sizes = arrs
+    for ci in range(len(read)):
+        out[int(read[ci])].append(
             Candidate(
-                path=int(path_s[f]),
-                strand=bool(strand_s[f]),
-                diag_lo=int(diag_s[f]),
-                diag_hi=int(diag_s[l]),
+                path=int(path[ci]),
+                strand=bool(strand[ci]),
+                diag_lo=int(dlo[ci]),
+                diag_hi=int(dhi[ci]),
                 n_seeds=int(sizes[ci]),
             )
         )

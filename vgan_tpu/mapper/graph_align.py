@@ -35,7 +35,23 @@ class Window:
     # flattened positions
     pos_handle: np.ndarray  # [ncols] handle index per graph position
     pos_offset: np.ndarray  # [ncols] offset within handle
-    pos_pred: List[List[int]]  # per position: predecessor position ids
+    ref: np.ndarray  # [ncols] uint8 position codes
+    csr_off: np.ndarray  # [ncols+1] predecessor CSR offsets (int64)
+    csr_idx: np.ndarray  # predecessor position ids (int32)
+
+    @property
+    def pos_pred(self) -> List[List[int]]:
+        """Per-position predecessor lists (derived view of the CSR;
+        used by the pure-python oracle aligner)."""
+        cached = getattr(self, "_pos_pred", None)
+        if cached is None:
+            off, idx = self.csr_off, self.csr_idx
+            cached = [
+                idx[off[i] : off[i + 1]].tolist()
+                for i in range(len(off) - 1)
+            ]
+            self._pos_pred = cached
+        return cached
 
 
 def build_window(
@@ -113,28 +129,50 @@ def build_window(
     ]
 
     seqs = [graph.node_codes(n + graph.min_id, rev) for n, rev in handles]
-    pos_handle: List[int] = []
-    pos_offset: List[int] = []
-    pos_pred: List[List[int]] = []
-    last_pos: List[int] = [0] * len(handles)
-    for i, seq in enumerate(seqs):
-        for o in range(len(seq)):
-            pid = len(pos_handle)
-            pos_handle.append(i)
-            pos_offset.append(o)
-            if o == 0:
-                pos_pred.append([last_pos[p] for p in preds[i] if len(seqs[p]) > 0])
-            else:
-                pos_pred.append([pid - 1])
-        if len(seq) > 0:
-            last_pos[i] = len(pos_handle) - 1
+    # flattened positions + predecessor CSR, vectorized (per-base
+    # Python loops here were the window-build hot spot)
+    H = len(handles)
+    seq_lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    starts = np.zeros(H + 1, dtype=np.int64)
+    np.cumsum(seq_lens, out=starts[1:])
+    total = int(starts[-1])
+    pos_handle = np.repeat(np.arange(H, dtype=np.int32), seq_lens)
+    pos_offset = (
+        np.arange(total, dtype=np.int64) - starts[pos_handle]
+    ).astype(np.int32)
+    ref = (
+        np.concatenate(seqs) if total else np.zeros(0, dtype=np.uint8)
+    ).astype(np.uint8, copy=False)
+    # first position of each non-empty handle takes the handle's
+    # predecessor list (last positions of non-empty preds); every
+    # other position's sole predecessor is the previous position
+    first_preds = [
+        [int(starts[p] + seq_lens[p] - 1) for p in preds[i]
+         if seq_lens[p] > 0]
+        for i in range(H)
+    ]
+    counts = np.ones(total, dtype=np.int64)
+    is_first = pos_offset == 0
+    fp_rows = np.nonzero(is_first)[0]
+    for r in fp_rows:
+        counts[r] = len(first_preds[int(pos_handle[r])])
+    csr_off = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(counts, out=csr_off[1:])
+    csr_idx = np.empty(int(csr_off[-1]), dtype=np.int32)
+    nonfirst = np.nonzero(~is_first)[0]
+    csr_idx[csr_off[nonfirst]] = (nonfirst - 1).astype(np.int32)
+    for r in fp_rows:
+        fp = first_preds[int(pos_handle[r])]
+        csr_idx[csr_off[r] : csr_off[r] + len(fp)] = fp
     return Window(
         handles=handles,
         seqs=seqs,
         preds=preds,
-        pos_handle=np.array(pos_handle, dtype=np.int32),
-        pos_offset=np.array(pos_offset, dtype=np.int32),
-        pos_pred=pos_pred,
+        pos_handle=pos_handle,
+        pos_offset=pos_offset,
+        ref=ref,
+        csr_off=csr_off,
+        csr_idx=csr_idx,
     )
 
 
@@ -155,10 +193,7 @@ def align_to_window(q: np.ndarray, win: Window) -> Optional[GraphAlignment]:
     ncols = len(win.pos_handle)
     if n == 0 or ncols == 0:
         return None
-    ref = np.array(
-        [win.seqs[h][o] for h, o in zip(win.pos_handle, win.pos_offset)],
-        dtype=np.uint8,
-    )
+    ref = win.ref
     H = np.zeros((ncols + 1, n + 1), dtype=np.int32)  # [col+1, row]
     E = np.full((ncols + 1, n + 1), NEG, dtype=np.int32)
     # column 0 is the virtual empty predecessor
@@ -307,24 +342,8 @@ def _load_native():
 
 
 def _window_csr(win: Window):
-    """Cache (ref codes, CSR preds) on the window."""
-    cached = getattr(win, "_csr", None)
-    if cached is not None:
-        return cached
-    ref = np.array(
-        [win.seqs[h][o] for h, o in zip(win.pos_handle, win.pos_offset)],
-        dtype=np.uint8,
-    )
-    counts = np.array([len(p) for p in win.pos_pred], dtype=np.int64)
-    off = np.zeros(len(counts) + 1, dtype=np.int64)
-    np.cumsum(counts, out=off[1:])
-    idx = (
-        np.concatenate([np.asarray(p, dtype=np.int32) for p in win.pos_pred])
-        if off[-1]
-        else np.zeros(0, dtype=np.int32)
-    )
-    win._csr = (ref, off, idx)
-    return win._csr
+    """(ref codes, CSR preds) — precomputed at build_window time."""
+    return win.ref, win.csr_off, win.csr_idx
 
 
 def align_to_window_native(q: np.ndarray, win: Window) -> Optional[GraphAlignment]:
