@@ -1,22 +1,42 @@
-"""Benchmark: HaploCart-scale fused scoring throughput on TPU.
+"""Benchmark: production-path throughput on TPU.
 
-Workload: the flagship device step (per-base probability math over all
-mappings + per-node accumulation + [n_nodes] x [n_nodes, n_paths]
-support matvec) at the real HaploCart DB scale — 11,825 nodes x 5,179
-paths (`src/load.cpp:284-292`), 100bp reads in ~12bp mappings.
+Headline metric = the code `vgan haplocart` actually executes
+(`pipelines/haplocart_runner.run_sample`): FASTQ parse -> batched
+mapping (device SW scoring + native batch finalize) -> filter ->
+gamsort -> duplicate removal -> batched device likelihood
+(`src/HaploCart.cpp:408-421` as one jitted step) -> argmax, on an
+mtDNA-scale synthetic world (full rCRS, 32 haplotypes, 120 variants —
+the real hcfiles DB is distributed out-of-band and not in the repo
+snapshot, `src/Makefile:89-91`).
 
-Baseline: the same math executed by an optimized single-core numpy
-float64 implementation on the host CPU (a conservative stand-in for
-the reference C++ implementation, whose inner loop is a *scalar*
-reads x mappings x 5,179-path walk, `src/HaploCart.cpp:408-421` —
-the reference repo publishes no benchmark numbers, see BASELINE.md).
+vs_baseline = the same end-to-end pipeline with the --precise host
+scorer (pipelines/haplocart.score_alignments — the literal f64
+transcription of the reference's per-read C++ loop, same accumulator
+order). The reference binary itself cannot be built here (vendored vg
+absent), so this oracle transcription is the measured CPU stand-in
+(BASELINE.md).
 
-Prints one JSON line:
-  {"metric": "haplocart_reads_per_s", "value": N, "unit": "reads/s",
-   "vs_baseline": speedup_vs_cpu_numpy}
+Also reported:
+  haplocart_device_reads_per_s  device scorer at REAL DB scale
+                                (11,825 nodes x 5,179 paths,
+                                `src/load.cpp:284-292`) vs an optimized
+                                single-core numpy f64 twin
+  mapping_reads_per_s           mapper alone on the same world
+  euka_mcmc_iters_per_s         abundance MCMC, reference default
+                                10k iters (`src/Euka.cpp:172-173`)
+  soibean_mcmc_iters_per_s      tree MCMC, reference defaults 500k
+                                iters x 4 chains
+                                (`src/soibean.cpp:224-226`) on the
+                                bundled Ursidae tree
+  sw_kernel_gcups               batched SW scoring kernel
+
+Prints ONE JSON line.
 """
 import json
+import os
+import tempfile
 import time
+import zipfile
 
 import numpy as np
 
@@ -32,23 +52,47 @@ from vgan_tpu.pipelines.haplocart_device import (
     synth_support,
 )
 
-N_READS = 16384
-M_PER_READ = 100 // 8
+N_READS_DEV = 16384
+N_READS_E2E = 4000
 
 
-def bench_tpu(batch, tables, iters=20):
+# ------------------------------------------------------------------ kernels
+def bench_sw_kernel():
+    from vgan_tpu.mapper.sw_pallas import sw_scores_xla
+
+    rng = np.random.default_rng(0)
+    B, R, W = 4096, 128, 256
+    read = rng.integers(0, 4, size=(B, R)).astype(np.int32)
+    win = rng.integers(0, 4, size=(B, W)).astype(np.int32)
+    rlen = np.full(B, R, np.int32)
+    wlen = np.full(B, W, np.int32)
+    out = sw_scores_xla(read, win, rlen, wlen)
+    out.block_until_ready()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = sw_scores_xla(read, win, rlen, wlen)
+        out.block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / 10)
+    return B * R * W / best / 1e9
+
+
+def bench_device_step():
+    """Device scorer at real HC DB scale vs single-core numpy f64."""
+    from vgan_tpu.models import mutation, phred
+
+    support = synth_support()
+    tables = make_tables(support)
+    batch = synth_batch(n_reads=N_READS_DEV)
     out = score_batch(batch, tables)
-    out.block_until_ready()  # compile + warm
+    out.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(20):
         out = score_batch(batch, tables)
     out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    return N_READS / dt, np.asarray(out)
-
-
-def bench_cpu(batch: HcBatch, support, iters=3):
-    from vgan_tpu.models import mutation, phred
+    tpu_rps = N_READS_DEV / ((time.perf_counter() - t0) / 20)
+    tpu_out = np.asarray(out)
 
     g = np.asarray(batch.g)
     r = np.asarray(batch.r)
@@ -62,9 +106,8 @@ def bench_cpu(batch: HcBatch, support, iters=3):
     imtab = phred.incorrect_mapping_vec()
     bg = np.concatenate([mutation.BACKGROUND_FREQ, [0.25, 0.25, 0.25]])
     sup = support.astype(np.float64)
-
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(2):
         qv = qtab[np.clip(q, 0, 99)]
         valid = (g < 4) & (r < 4)
         eps = np.where(g == r, qv, 1.0 - qv)
@@ -78,24 +121,87 @@ def bench_cpu(batch: HcBatch, support, iters=3):
         c = np.zeros(sup.shape[0])
         np.add.at(c, node, d)
         final = b.sum() + c @ sup
-    dt = (time.perf_counter() - t0) / iters
-    return N_READS / dt, final
+    cpu_rps = N_READS_DEV / ((time.perf_counter() - t0) / 2)
+    agree = int(np.argmax(tpu_out)) == int(np.argmax(final))
+    return tpu_rps, cpu_rps, agree
 
 
-def bench_mapping():
-    """End-to-end mapping (seed + device SW + native graph alignment +
-    GAM projection) on an mtDNA-scale synthetic world."""
+# ------------------------------------------------------------------ e2e
+def _bench_world():
+    from vgan_tpu.graph.synth import build_haplotype_graph
     from vgan_tpu.io import fastx
-    from vgan_tpu.graph.synth import build_haplotype_graph, sample_reads
-    from vgan_tpu.mapper.giraffe import BatchedMapper
 
     seqs, _ = fastx.read_fasta("/root/reference/test/input_files/rCRS.fa")
-    graph, _truth = build_haplotype_graph(
+    graph, _ = build_haplotype_graph(
         seqs[0], n_haplotypes=32, n_variants=120, seed=3
     )
+    return graph
+
+
+def _db_from_graph(graph):
+    from vgan_tpu.pipelines import haplocart as hc
+
+    pang = np.ones(graph.n_nodes, dtype=np.int64)
+    pos = 1
+    for nidx in graph.path_steps_node[0]:
+        pang[nidx] = pos
+        pos += int(graph.node_off[nidx + 1] - graph.node_off[nidx])
+    return hc.HaplocartDB(
+        graph=graph,
+        path_names=list(graph.path_names),
+        pangenome_base=pang,
+        mappabilities=np.ones(int(pang.max()) + 2, dtype=np.float64),
+    )
+
+
+def bench_haplocart_e2e(graph):
+    """Full production pipeline (run_sample) vs the --precise host
+    oracle pipeline on the same input."""
+    from vgan_tpu.graph.synth import sample_reads
+    from vgan_tpu.mapper.giraffe import BatchedMapper
+    from vgan_tpu.pipelines.haplocart_runner import (
+        HaplocartConfig,
+        run_sample,
+    )
+
+    db = _db_from_graph(graph)
     mapper = BatchedMapper(graph, k=31, w=11)
-    reads = sample_reads(graph, 5, n_reads=4000, seed=0)
-    mapper.map_reads(reads[:128])  # warm compile
+    reads = sample_reads(graph, 5, n_reads=N_READS_E2E, seed=0)
+    fd, fq = tempfile.mkstemp(suffix=".fq")
+    with os.fdopen(fd, "w") as f:
+        for r in reads:
+            # Read.qual is raw phred; FASTQ wants phred+33 ascii
+            qual = (
+                bytes(q + 33 for q in r.qual).decode()
+                if r.qual is not None
+                else "I" * len(r.seq)
+            )
+            f.write(f"@{r.name}\n{r.seq}\n+\n{qual}\n")
+    try:
+        cfg = HaplocartConfig(db_dir="", fq1=fq, quiet=True)
+        run_sample(cfg, db, mapper, "warm")  # compile + warm caches
+        t0 = time.perf_counter()
+        pred_d, n_d, vec_d = run_sample(cfg, db, mapper, "bench")
+        dt = time.perf_counter() - t0
+        e2e_rps = len(reads) / dt
+
+        cfg_p = HaplocartConfig(db_dir="", fq1=fq, quiet=True, precise=True)
+        run_sample(cfg_p, db, mapper, "warm")
+        t0 = time.perf_counter()
+        pred_p, n_p, vec_p = run_sample(cfg_p, db, mapper, "precise")
+        host_dt = time.perf_counter() - t0
+        host_rps = len(reads) / host_dt
+    finally:
+        os.unlink(fq)
+    agree = (pred_d == pred_p) and (
+        int(np.argmax(vec_d)) == int(np.argmax(vec_p))
+    )
+    return e2e_rps, host_rps, agree, mapper, reads
+
+
+def bench_mapping(mapper, reads):
+    """Mapper alone (seed + device SW + native batch finalize)."""
+    mapper.map_reads(reads[:128])  # warm
     t0 = time.perf_counter()
     out = mapper.map_reads(reads)
     dt = time.perf_counter() - t0
@@ -103,58 +209,93 @@ def bench_mapping():
     return len(reads) / dt, mapped / len(reads)
 
 
-def bench_sw_kernel():
-    from vgan_tpu.mapper.sw_pallas import sw_scores_xla
+# ------------------------------------------------------------------ MCMC
+def bench_euka_mcmc():
+    """Abundance MCMC at reference defaults: 10k iters
+    (`src/Euka.cpp:172-173`), 6 detected taxa."""
+    from vgan_tpu.infer.abundance_mcmc import run_mcmc
 
     rng = np.random.default_rng(0)
-    B, R, W = 4096, 128, 256
-    read = rng.integers(0, 4, size=(B, R)).astype(np.int32)
-    win = rng.integers(0, 4, size=(B, W)).astype(np.int32)
-    rlen = np.full(B, R, np.int32)
-    wlen = np.full(B, W, np.int32)
-    out = sw_scores_xla(read, win, rlen, wlen)
-    out.block_until_ready()
-    # best of 3 trials: a single trial is vulnerable to transient
-    # dispatch-queue congestion on the remote backend
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(10):
-            out = sw_scores_xla(read, win, rlen, wlen)
-        out.block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / 10)
-    return B * R * W / best / 1e9
+    T = 6
+    n_reads = rng.integers(100, 5000, size=T).astype(np.float64)
+    sum_ll = -rng.uniform(1.0, 3.0, size=T) * n_reads
+    init = n_reads / n_reads.sum()
+    n_iter = 10000
+    run_mcmc(n_reads, sum_ll, init, n_iter=n_iter, burnin=100, seed=1)
+    t0 = time.perf_counter()
+    run_mcmc(n_reads, sum_ll, init, n_iter=n_iter, burnin=100, seed=2)
+    dt = time.perf_counter() - t0
+    return n_iter / dt
+
+
+def bench_soibean_mcmc():
+    """Tree MCMC at reference defaults: 500k iters x 4 chains
+    (`src/soibean.cpp:224-226`) on the bundled Ursidae tree
+    (share/vgan/soibean_dir/tree_dir/trees.zip), chains vmapped in one
+    device program."""
+    from vgan_tpu.infer import tree_mcmc
+    from vgan_tpu.pipelines import soibean
+    from vgan_tpu.utils.newick import parse_newick
+
+    zpath = "/root/reference/share/vgan/soibean_dir/tree_dir/trees.zip"
+    with zipfile.ZipFile(zpath) as z:
+        text = z.read("Ursidae.new.dnd").decode()
+    tree = parse_newick(text)
+    N = tree.n_nodes
+    rng = np.random.default_rng(0)
+    R = 200  # reads
+    path_map = -rng.uniform(20.0, 60.0, size=(R, N))
+    counts25 = rng.integers(0, 3, size=(R, N, 25)).astype(np.float32)
+    freqs = soibean.make_freqs(0.25, 0.25, 0.25, 0.25)
+    C, k = 4, 2
+    leaves = np.nonzero(tree.n_children == 0)[0]
+    srcs = np.tile(leaves[:k], (C, 1)).astype(np.int32)
+    n_iter, burn = 500_000, 75_000
+
+    def run(seed0):
+        return tree_mcmc.run_tree_mcmc_chains(
+            tree, path_map, counts25, srcs, freqs, con=0.01,
+            max_iter=n_iter, burn=burn, num_paths=N,
+            init_loglike=float(path_map[:, srcs[0, 0]].sum()),
+            seeds=np.arange(C) + seed0,
+        )
+
+    run(0)  # compile
+    t0 = time.perf_counter()
+    trace = run(100)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(trace.loglike).all()
+    return C * n_iter / dt
 
 
 def main():
-    # Phase order matters on the axon backend: after a few minutes /
-    # many dispatches in one process, every dispatch acquires a fixed
-    # ~40ms latency floor regardless of program size (measured:
-    # identical programs drop from ~25 GCUPS to ~3.3 GCUPS late in a
-    # process, with per-call time converging to the same constant for
-    # very different shapes). Microbenchmarks whose per-call work is
-    # small (the SW kernel, the scorer) therefore run FIRST; the
-    # mapping end-to-end phase dispatches few large batches and is
-    # insensitive, so it runs last.
+    # Phase order matters on the axon backend: after many dispatches in
+    # one process every dispatch acquires a ~40ms latency floor, so the
+    # dispatch-count-sensitive microbenchmarks run FIRST; the e2e
+    # phases dispatch few large batches and run last.
     gcups = bench_sw_kernel()
+    dev_rps, dev_cpu_rps, dev_agree = bench_device_step()
+    euka_ips = bench_euka_mcmc()
+    soibean_ips = bench_soibean_mcmc()
 
-    support = synth_support()
-    tables = make_tables(support)
-    batch = synth_batch(n_reads=N_READS)
-    tpu_rps, tpu_out = bench_tpu(batch, tables)
-    cpu_rps, cpu_out = bench_cpu(batch, support)
-    agree = int(np.argmax(tpu_out)) == int(np.argmax(cpu_out))
-    map_rps, map_frac = bench_mapping()
+    graph = _bench_world()
+    e2e_rps, host_rps, e2e_agree, mapper, reads = bench_haplocart_e2e(graph)
+    map_rps, map_rate = bench_mapping(mapper, reads)
 
     result = {
-        "metric": "haplocart_reads_per_s",
-        "value": round(tpu_rps, 1),
+        "metric": "haplocart_e2e_reads_per_s",
+        "value": round(e2e_rps, 1),
         "unit": "reads/s",
-        "vs_baseline": round(tpu_rps / cpu_rps, 2),
-        "cpu_baseline_reads_per_s": round(cpu_rps, 1),
-        "argmax_agrees": agree,
+        "vs_baseline": round(e2e_rps / host_rps, 2),
+        "host_oracle_e2e_reads_per_s": round(host_rps, 1),
+        "argmax_agrees": bool(e2e_agree),
         "mapping_reads_per_s": round(map_rps, 1),
-        "mapping_rate": round(map_frac, 4),
+        "mapping_rate": round(map_rate, 4),
+        "haplocart_device_reads_per_s": round(dev_rps, 1),
+        "device_vs_numpy": round(dev_rps / dev_cpu_rps, 2),
+        "device_argmax_agrees": bool(dev_agree),
+        "euka_mcmc_iters_per_s": round(euka_ips, 1),
+        "soibean_mcmc_iters_per_s": round(soibean_ips, 1),
         "sw_kernel_gcups": round(gcups, 2),
         "backend": jax.default_backend(),
     }

@@ -106,3 +106,40 @@ def test_sharded_euka_output_sharding(mesh8):
                    jnp.asarray(phred.qscore_vec()),
                    jnp.asarray(BASE_FREQ_LOG), jnp.asarray(T_T_RATIO))
     assert len(out1.sharding.device_set) == 8
+
+
+def test_production_runner_mesh_matches_single(toy_graph, ref, tmp_path):
+    """VERDICT r1 #3: the production haplocart runner with the auto
+    mesh (8 virtual devices) produces the same final_vec / prediction
+    as with sharding disabled (--devices 1)."""
+    from vgan_tpu.parallel.mesh import auto_mesh, set_device_limit
+    from vgan_tpu.pipelines.haplocart_runner import (
+        HaplocartConfig,
+        load_db,
+        run_sample,
+    )
+    from vgan_tpu import cli
+
+    d = tmp_path / "db"
+    rc = cli.main(
+        ["build-db", str(ref / "test/reconstructInputSeq/target_graph.gfa"),
+         str(d)]
+    )
+    assert rc == 0
+    db = load_db(str(d))
+    cfg = HaplocartConfig(
+        db_dir=str(d),
+        gamfile=str(ref / "test/reconstructInputSeq/test_reads.gam"),
+    )
+    try:
+        set_device_limit(1)
+        assert auto_mesh() is None
+        pred1, n1, vec1 = run_sample(cfg, db, None, "s")
+        db._sharded_cache = {}
+        set_device_limit(None)
+        assert auto_mesh() is not None and auto_mesh().size == 8
+        pred8, n8, vec8 = run_sample(cfg, db, None, "s")
+    finally:
+        set_device_limit(None)
+    assert (pred1, n1) == (pred8, n8)
+    np.testing.assert_allclose(vec8, vec1, rtol=1e-12)

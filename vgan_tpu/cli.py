@@ -106,6 +106,12 @@ def cmd_haplocart(args: List[str]) -> int:
             from .utils import profiling
 
             profiling.enable(); i += 1
+        elif a == "--devices":
+            # mesh size cap for the auto multi-chip sharding (default:
+            # all local devices; 1 disables sharding)
+            from .parallel.mesh import set_device_limit
+
+            set_device_limit(int(_take(args, i))); i += 2
         else:
             print(f"[HaploCart] ignoring unknown flag {a}", file=sys.stderr)
             i += 1
@@ -201,6 +207,12 @@ def cmd_euka(args: List[str]) -> int:
             from .utils import profiling
 
             profiling.enable(); i += 1
+        elif a == "--devices":
+            # mesh size cap for the auto multi-chip sharding (default:
+            # all local devices; 1 disables sharding)
+            from .parallel.mesh import set_device_limit
+
+            set_device_limit(int(_take(args, i))); i += 2
         else:
             print(f"[euka] ignoring unknown flag {a}", file=sys.stderr)
             i += 1
@@ -335,6 +347,12 @@ def cmd_soibean(args: List[str]) -> int:
             from .utils import profiling
 
             profiling.enable(); i += 1
+        elif a == "--devices":
+            # mesh size cap for the auto multi-chip sharding (default:
+            # all local devices; 1 disables sharding)
+            from .parallel.mesh import set_device_limit
+
+            set_device_limit(int(_take(args, i))); i += 2
         else:
             print(f"[soibean] ignoring unknown flag {a}", file=sys.stderr)
             i += 1

@@ -32,6 +32,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# float64 on CPU (reference-parity tests); float32 on TPU — the axon
+# remote compiler's X64-rewriting pass stalls on f64 graphs (same rule
+# as infer/tree_mcmc.F). MH sampling needs statistical precision only.
+F = (
+    jnp.float64
+    if str(jax.config.jax_platforms or "").startswith("cpu")
+    else jnp.float32
+)
+
 
 class AbundanceResult(NamedTuple):
     estimate: np.ndarray  # [T] posterior median
@@ -63,15 +72,15 @@ def run_mcmc(
     reference's log(0) behavior — proposals are then never accepted but
     still recorded)."""
     T = len(init_vec)
-    n_reads_f = jnp.asarray(n_reads_per_taxon, jnp.float64)
-    const_ll = jnp.asarray(np.sum(sum_log_like_per_taxon), jnp.float64)
-    init = jnp.asarray(init_vec, jnp.float64)
+    n_reads_f = jnp.asarray(n_reads_per_taxon, F)
+    const_ll = jnp.asarray(np.sum(sum_log_like_per_taxon), F)
+    init = jnp.asarray(init_vec, F)
 
     def step(carry, key):
         current, cur_ll = carry
         kp, ku = jax.random.split(key)
         prop, prop_ll = _proposal_and_loglik(kp, current, alpha, n_reads_f, const_ll)
-        u = jax.random.uniform(ku, dtype=jnp.float64)
+        u = jax.random.uniform(ku, dtype=F)
         accept = u <= jnp.minimum(1.0, jnp.exp(prop_ll - cur_ll))  # NaN -> False
         new = jnp.where(accept, prop, current)
         new_ll = jnp.where(accept, prop_ll, cur_ll)
@@ -85,7 +94,7 @@ def run_mcmc(
     @jax.jit
     def run(keys):
         (final, _), samples = jax.lax.scan(
-            step, (init, jnp.float64(-9999999.0)), keys[burnin + 1 :]
+            step, (init, jnp.asarray(-9999999.0, F)), keys[burnin + 1 :]
         )
         return samples
 
@@ -93,7 +102,10 @@ def run_mcmc(
     # simplex-sum assertion, `src/MCMC.cpp:1164-1169`
     from ..utils.guards import check_simplex
 
-    check_simplex(samples, "abundance proposal")
+    check_simplex(
+        samples, "abundance proposal",
+        atol=1e-6 if samples.dtype == np.float64 else 1e-4,
+    )
 
     est = np.empty(T)
     ci85 = np.empty((T, 2))

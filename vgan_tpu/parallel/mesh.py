@@ -41,6 +41,32 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
     return Mesh(arr, ("dp", "tp"))
 
 
+# ----------------------------------------------------------- auto selection
+_DEVICE_LIMIT: Optional[int] = None
+_AUTO_CACHE: dict = {}
+
+
+def set_device_limit(n: Optional[int]) -> None:
+    """CLI `--devices N`: cap the auto mesh (0/1 disables sharding)."""
+    global _DEVICE_LIMIT
+    _DEVICE_LIMIT = n
+    _AUTO_CACHE.clear()
+
+
+def auto_mesh() -> Optional[Mesh]:
+    """Mesh over all local devices (dp=n, tp=1) — the production
+    default for the CLI runners; None when a single device is visible
+    (or the limit disables sharding). The TPU-native successor of the
+    reference's OpenMP thread pool (`src/HaploCart.cpp:408-421`)."""
+    key = "mesh"
+    if key not in _AUTO_CACHE:
+        n = len(jax.devices())
+        if _DEVICE_LIMIT is not None:
+            n = min(n, _DEVICE_LIMIT)
+        _AUTO_CACHE[key] = make_mesh(n_devices=n, dp=n, tp=1) if n > 1 else None
+    return _AUTO_CACHE[key]
+
+
 def sharded_score_fn(mesh: Mesh, bep: float = 1e-4,
                      consensus: bool = False):
     """Build the pjit-ed haplocart scoring step over (dp, tp):

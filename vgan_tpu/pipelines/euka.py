@@ -408,21 +408,44 @@ class EukaScorer:
             pair_dist[b] = self.clades[c_n].dist
             valid[b, :L] = True
 
-        il, nl = _score_batch(
-            jnp.asarray(g),
-            jnp.asarray(r),
-            jnp.asarray(q),
-            jnp.asarray(n_pos),
-            jnp.asarray(L_read),
-            jnp.asarray(pair_dist),
-            jnp.asarray(valid),
-            self.sub5p,
-            self.sub3p,
-            self.qtab,
-            self.bfreq,
-            self.ttr,
-        )
-        il, nl = np.asarray(il), np.asarray(nl)
+        from ..parallel.mesh import auto_mesh
+
+        mesh = auto_mesh()
+        if mesh is not None:
+            # production multi-chip path: reads shard over the mesh
+            # (SURVEY §2.9 data-parallel row; the TPU replacement of
+            # euka's OpenMP read loop)
+            from ..parallel.mesh import shard_euka_batch, sharded_euka_score_fn
+
+            fn = getattr(self, "_sharded_fn", None)
+            if fn is None or getattr(self, "_sharded_mesh", None) is not mesh:
+                fn = sharded_euka_score_fn(mesh)
+                self._sharded_fn = fn
+                self._sharded_mesh = mesh
+            (gs, rs, qs, ns, Ls, ps, vs), B0 = shard_euka_batch(
+                mesh, g, r, q, n_pos, L_read, pair_dist, valid
+            )
+            il, nl = fn(
+                gs, rs, qs, ns, Ls, ps, vs,
+                self.sub5p, self.sub3p, self.qtab, self.bfreq, self.ttr,
+            )
+            il, nl = np.asarray(il)[:B0], np.asarray(nl)[:B0]
+        else:
+            il, nl = _score_batch(
+                jnp.asarray(g),
+                jnp.asarray(r),
+                jnp.asarray(q),
+                jnp.asarray(n_pos),
+                jnp.asarray(L_read),
+                jnp.asarray(pair_dist),
+                jnp.asarray(valid),
+                self.sub5p,
+                self.sub3p,
+                self.qtab,
+                self.bfreq,
+                self.ttr,
+            )
+            il, nl = np.asarray(il), np.asarray(nl)
         # batch-boundary equivalent of the reference's per-base NaN/Inf
         # gate (`src/readGAM_Euka.h` throws on bad log-likes)
         guards.check_loglik(il, "euka model-1 log-likelihood")

@@ -282,13 +282,23 @@ def score_alignments_device(
     alignments,
     background_error_prob: float = 1e-4,
     is_consensus_fasta: bool = False,
+    mesh="auto",
 ) -> np.ndarray:
     """Production device scorer: the full `src/HaploCart.cpp:408-421`
     batch on device (batch_from_alignments -> score_batch), replacing
     the host per-alignment loop (pipelines/haplocart.score_alignments,
-    kept as the --precise f64 oracle). Tables are cached on the DB."""
+    kept as the --precise f64 oracle). Tables are cached on the DB.
+
+    mesh: "auto" (default) shards the mapping axis over all local
+    devices with a psum merge (parallel/mesh.sharded_score_fn — the
+    SURVEY §2.9 data-parallel path); None / single device runs the
+    plain jitted step."""
     from ..utils import guards
 
+    if mesh == "auto":
+        from ..parallel.mesh import auto_mesh
+
+        mesh = auto_mesh()
     tables = getattr(db, "_device_tables", None)
     if tables is None:
         tables = make_tables_from_db(db, _default_dtype())
@@ -302,13 +312,38 @@ def score_alignments_device(
         # consensus mode: eps comes from bep for every base
         # (`src/HaploCart.cpp:394-399` sets the flag up front)
         batch = batch._replace(use_bep=jnp.ones_like(batch.use_bep))
-    out = score_batch(
-        batch,
-        tables,
-        bep=jnp.asarray(background_error_prob, dt),
-        consensus=is_consensus_fasta,
-    )
-    out = np.asarray(out, dtype=np.float64)
+    if mesh is not None:
+        from ..parallel.mesh import (
+            shard_batch,
+            shard_tables,
+            sharded_score_fn,
+        )
+
+        cache = getattr(db, "_sharded_cache", None)
+        if cache is None:
+            cache = db._sharded_cache = {}
+        key = (id(mesh), float(background_error_prob), is_consensus_fasta)
+        entry = cache.get(key)
+        if entry is None:
+            entry = (
+                sharded_score_fn(
+                    mesh, bep=background_error_prob,
+                    consensus=is_consensus_fasta,
+                ),
+                shard_tables(tables, mesh),
+            )
+            cache[key] = entry
+        fn, sh_tables = entry
+        out = fn(shard_batch(batch, mesh), sh_tables)
+        out = np.asarray(out, dtype=np.float64)[: len(db.path_names)]
+    else:
+        out = score_batch(
+            batch,
+            tables,
+            bep=jnp.asarray(background_error_prob, dt),
+            consensus=is_consensus_fasta,
+        )
+        out = np.asarray(out, dtype=np.float64)
     guards.check_finite(out, "haplocart final_vec (device)")
     return out
 

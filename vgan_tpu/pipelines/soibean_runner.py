@@ -144,9 +144,24 @@ def run_soibean_inference(
     seed: int = 0,
     write_files: bool = True,
     rand_start: bool = False,
+    mesh="auto",
 ) -> Dict[int, List[ChainSummary]]:
     """Full inference loop over k = 1..#signature nodes x chains
-    (`src/soibean.cpp:745-940`)."""
+    (`src/soibean.cpp:745-940`).
+
+    mesh: "auto" (default) shards the chain axis over local devices
+    when the chain count divides evenly (SURVEY §2.9 chain-parallel
+    row; the reference runs chains sequentially,
+    `src/soibean.cpp:805-840`)."""
+    if mesh == "auto":
+        from ..parallel.mesh import auto_mesh
+
+        mesh = auto_mesh()
+    chain_mesh = None
+    if mesh is not None and chains % mesh.size == 0:
+        from jax.sharding import Mesh
+
+        chain_mesh = Mesh(mesh.devices.reshape(-1), ("dp",))
     tree_index = tree.name_to_index()
     # map graph path columns onto tree node order
     name_of_col = path_names
@@ -207,6 +222,7 @@ def run_soibean_inference(
             num_paths=len(path_names),
             init_loglike=init_ll,
             seeds=np.arange(chains) + seed * 1000 + k * 10,
+            mesh=chain_mesh,
         )
         summaries: List[ChainSummary] = []
         for chain in range(chains):
