@@ -52,8 +52,13 @@ from vgan_tpu.pipelines.haplocart_device import (
     synth_support,
 )
 
-N_READS_DEV = 16384
-N_READS_E2E = 4000
+# BENCH_SMOKE=1: tiny workloads for functional validation on CPU (the
+# recorded numbers always come from the full run on the TPU)
+_SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0") or 0))
+N_READS_DEV = 2048 if _SMOKE else 16384
+N_READS_E2E = 400 if _SMOKE else 4000
+EUKA_ITERS = 2000 if _SMOKE else 10000
+SOIBEAN_ITERS, SOIBEAN_BURN = (4000, 1000) if _SMOKE else (500_000, 75_000)
 
 
 # ------------------------------------------------------------------ kernels
@@ -61,7 +66,8 @@ def bench_sw_kernel():
     from vgan_tpu.mapper.sw_pallas import sw_scores_xla
 
     rng = np.random.default_rng(0)
-    B, R, W = 4096, 128, 256
+    B, R, W = (256, 64, 64) if _SMOKE else (4096, 128, 256)
+    reps = 2 if _SMOKE else 10
     read = rng.integers(0, 4, size=(B, R)).astype(np.int32)
     win = rng.integers(0, 4, size=(B, W)).astype(np.int32)
     rlen = np.full(B, R, np.int32)
@@ -71,10 +77,10 @@ def bench_sw_kernel():
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(10):
+        for _ in range(reps):
             out = sw_scores_xla(read, win, rlen, wlen)
         out.block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / 10)
+        best = min(best, (time.perf_counter() - t0) / reps)
     return B * R * W / best / 1e9
 
 
@@ -220,7 +226,7 @@ def bench_euka_mcmc():
     n_reads = rng.integers(100, 5000, size=T).astype(np.float64)
     sum_ll = -rng.uniform(1.0, 3.0, size=T) * n_reads
     init = n_reads / n_reads.sum()
-    n_iter = 10000
+    n_iter = EUKA_ITERS
     run_mcmc(n_reads, sum_ll, init, n_iter=n_iter, burnin=100, seed=1)
     t0 = time.perf_counter()
     run_mcmc(n_reads, sum_ll, init, n_iter=n_iter, burnin=100, seed=2)
@@ -250,7 +256,7 @@ def bench_soibean_mcmc():
     C, k = 4, 2
     leaves = np.nonzero(tree.n_children == 0)[0]
     srcs = np.tile(leaves[:k], (C, 1)).astype(np.int32)
-    n_iter, burn = 500_000, 75_000
+    n_iter, burn = SOIBEAN_ITERS, SOIBEAN_BURN
 
     def run(seed0):
         return tree_mcmc.run_tree_mcmc_chains(
@@ -268,18 +274,30 @@ def bench_soibean_mcmc():
     return C * n_iter / dt
 
 
+def _note(msg):
+    import sys
+
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     # Phase order matters on the axon backend: after many dispatches in
     # one process every dispatch acquires a ~40ms latency floor, so the
     # dispatch-count-sensitive microbenchmarks run FIRST; the e2e
     # phases dispatch few large batches and run last.
+    _note("sw kernel")
     gcups = bench_sw_kernel()
+    _note("device step")
     dev_rps, dev_cpu_rps, dev_agree = bench_device_step()
+    _note("euka mcmc")
     euka_ips = bench_euka_mcmc()
+    _note("soibean mcmc")
     soibean_ips = bench_soibean_mcmc()
 
+    _note("e2e world")
     graph = _bench_world()
     e2e_rps, host_rps, e2e_agree, mapper, reads = bench_haplocart_e2e(graph)
+    _note("mapping")
     map_rps, map_rate = bench_mapping(mapper, reads)
 
     result = {

@@ -95,6 +95,38 @@ def test_mq_and_scores(toy_mapper, ref):
         assert a.score > 0
 
 
+def test_score_and_mq_calibration_vs_giraffe(toy_mapper, ref, toy_reads):
+    """Per-read calibration against giraffe's own values in the fixture
+    GAM (VERDICT r1 #6).
+
+    * alignment scores must agree EXACTLY (same scoring model:
+      match 1 / mismatch 4 / gap 6+1 / full-length bonus 5);
+    * MQ semantics: our MQ is a score-gap approximation of giraffe's
+      cap chain, not the same algorithm — giraffe applies
+      exploration-based caps that yield 52-55 for unique-but-imperfect
+      reads where the gap rule yields 60. The downstream contracts are
+      the MQ>29 hard filter (`src/Euka.cpp:184`) and the 10^(-MQ/10)
+      weight (`src/process_mapping.cpp:41`), so we assert per-read
+      >29-filter concordance and that both sides give confident
+      (>=50) values for every uniquely-placed fixture read."""
+    reads = fastx.read_fastq(str(ref / "test/reconstructInputSeq/test_reads.fq"))
+    by_name = {a.name: a for a in toy_reads}
+    n = 0
+    for r in reads:
+        theirs = by_name.get(r.name)
+        if theirs is None or theirs.identity == 0:
+            continue
+        ours = toy_mapper.map_read(r)
+        assert ours.score == theirs.score, r.name
+        assert (ours.mapping_quality > 29) == (
+            theirs.mapping_quality > 29
+        ), (r.name, ours.mapping_quality, theirs.mapping_quality)
+        assert ours.mapping_quality >= 50, r.name
+        assert theirs.mapping_quality >= 50, r.name
+        n += 1
+    assert n == 10
+
+
 def test_batched_mapper_agrees(toy_graph, ref, toy_reads):
     from vgan_tpu.mapper.giraffe import BatchedMapper, Mapper
 

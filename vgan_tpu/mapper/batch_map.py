@@ -330,19 +330,36 @@ def gather_and_score(mapper, reads, max_candidates: int = 8,
     wl32[:m] = wlen
     scores = np.asarray(sw_scores_xla(qarr, warr, rlen, wl32))[:m]
 
-    # winner + runner-up per read
+    # winner + runner-up per read; the runner-up is the best candidate
+    # at a genuinely DISTINCT placement (same strand + overlapping
+    # haplotype interval = the same placement via another haplotype —
+    # does not compete for MQ; see giraffe.same_placement)
+    hi = lo + wlen
     ordw = np.lexsort((np.arange(m), -scores, c_read))
     rw = c_read[ordw]
     fw = np.ones(m, dtype=bool)
     fw[1:] = rw[1:] != rw[:-1]
     first_idx = np.nonzero(fw)[0]
     win_rows = ordw[first_idx]
-    has2 = np.zeros(len(first_idx), dtype=bool)
+    rr_all = rw[first_idx]  # read id per group
+    wstrand = np.zeros(n_reads, dtype=c_strand.dtype)
+    wlo = np.zeros(n_reads, dtype=np.int64)
+    whi = np.zeros(n_reads, dtype=np.int64)
+    wstrand[rr_all] = c_strand[win_rows]
+    wlo[rr_all] = lo[win_rows]
+    whi[rr_all] = hi[win_rows]
+    strand_o = c_strand[ordw]
+    lo_o = lo[ordw]
+    hi_o = hi[ordw]
+    ovl = (
+        (strand_o == wstrand[rw]) & (lo_o < whi[rw]) & (wlo[rw] < hi_o)
+    )
+    pos_ok = np.where(~ovl, np.arange(m), m)
+    first_ok = np.minimum.reduceat(pos_ok, first_idx)
+    grp_end = np.append(first_idx[1:], m)
+    has2 = first_ok < grp_end
     second = np.full(len(first_idx), -1e30, dtype=np.float32)
-    nxt = first_idx + 1
-    ok2 = (nxt < m) & (np.append(rw[1:], -1)[first_idx] == rw[first_idx])
-    has2[ok2] = True
-    second[ok2] = scores[ordw[np.minimum(nxt, m - 1)]][ok2]
+    second[has2] = scores[ordw[np.minimum(first_ok, m - 1)]][has2]
 
     out = BatchResult()
     out.read_codes = read_codes

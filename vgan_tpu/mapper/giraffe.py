@@ -98,6 +98,19 @@ class PathAlignment:
     aln: "GraphAlignment"
     window: "Window"
     eff_score: int
+    lo: int = 0  # window start on the haplotype linearization
+    hi: int = 0
+
+
+def same_placement(strand_a, lo_a, hi_a, strand_b, lo_b, hi_b) -> bool:
+    """Two candidates describe the same read placement when they share
+    the strand and their haplotype-window intervals overlap — the same
+    graph region reached via different (near-identical) haplotypes.
+    Such pairs do not compete for mapping quality (giraffe likewise
+    rates a placement against genuinely distinct placements only; the
+    fixture GAM gives softclipped unique reads MQ 52-55, not a
+    near-zero gap score)."""
+    return strand_a == strand_b and lo_a < hi_b and lo_b < hi_a
 
 
 def extend_candidates(
@@ -128,7 +141,9 @@ def extend_candidates(
             continue
         # start bonus is baked into the DP; add the end bonus here
         eff = aln.score + (FULL_LENGTH_BONUS if aln.read_end == L else 0)
-        out.append(PathAlignment(cand.path, cand.strand, aln, win, eff))
+        out.append(
+            PathAlignment(cand.path, cand.strand, aln, win, eff, lo, hi)
+        )
     out.sort(key=lambda a: -a.eff_score)
     return out
 
@@ -297,15 +312,15 @@ class Mapper:
         alns = extend_candidates(self.graph, self.index, codes, clusters)
         if not alns:
             return a
-        # dedup identical alignments mapped via different haplotypes
-        seen = {}
-        for pa in alns:
-            key = self._projection_key(pa)
-            if key not in seen:
-                seen[key] = pa
-        uniq = list(seen.values())
-        best = uniq[0]
-        second = uniq[1].eff_score if len(uniq) > 1 else None
+        best = alns[0]
+        # runner-up = best genuinely DISTINCT placement (same-placement
+        # candidates via different haplotypes don't compete for MQ)
+        second = None
+        for pa in alns[1:]:
+            if not same_placement(pa.strand, pa.lo, pa.hi,
+                                  best.strand, best.lo, best.hi):
+                second = pa.eff_score
+                break
 
         path = _project_walk(
             self.graph,
@@ -330,19 +345,6 @@ class Mapper:
 
     def map_reads(self, reads) -> List[gam.Alignment]:
         return [self.map_read(r) for r in reads]
-
-    def _projection_key(self, pa: PathAlignment):
-        if not pa.aln.walk:
-            return (pa.path, pa.strand)
-        first = next(
-            ((h, o) for h, o, _op in pa.aln.walk if h >= 0), (-1, 0)
-        )
-        node = pa.window.handles[first[0]][0] if first[0] >= 0 else -1
-        ops = tuple(
-            (pa.window.handles[h][0] if h >= 0 else -1, op)
-            for h, _o, op in pa.aln.walk
-        )
-        return (node, first[1], pa.strand, ops)
 
 
 class BatchedMapper(Mapper):
@@ -479,7 +481,16 @@ class BatchedMapper(Mapper):
                 continue
             ranked = sorted(d.values(), key=lambda t: -t[0])
             _score, i = ranked[0]
-            second = ranked[1][0] if len(ranked) > 1 else None
+            _ri, cand_w, w_w, lo_w = all_cands[i]
+            hi_w = lo_w + len(w_w)
+            # runner-up = best genuinely distinct placement
+            second = None
+            for s, j in ranked[1:]:
+                _rj, cj, wj, lj = all_cands[j]
+                if not same_placement(cj.strand, lj, lj + len(wj),
+                                      cand_w.strand, lo_w, hi_w):
+                    second = s
+                    break
             out.append(
                 self._finalize(r, read_codes[ri], all_cands[i], _score,
                                second)
