@@ -307,3 +307,74 @@ def test_build_db_from_og(ref, tmp_path):
 
     g = PackedGraph.load(str(out / "graph.npz"))
     assert g.n_nodes == 28 and g.n_paths == 5
+
+
+# ------------------------------------------------------------------- GBZ
+def test_gbz_matches_gfa_twin(ref):
+    """The GBZ reader (simple-sds decode of target.giraffe.gbz, the
+    HaploCart-mode giraffe input `src/map_giraffe.cpp:41-55`) produces
+    the exact graph of its GFA twin: node sequences, paths (names +
+    oriented steps) and the full edge set (VERDICT r1 #7)."""
+    from vgan_tpu.io.gbz import read_gbz
+    from vgan_tpu.io.gfa import parse_gfa
+
+    g = read_gbz(str(ref / "test/input_files/target.giraffe.gbz"))
+    segs, paths, links = parse_gfa(
+        str(ref / "test/reconstructInputSeq/target_graph.gfa")
+    )
+    assert set(g.node_seqs) == set(segs)
+    for nid, seq in segs.items():
+        assert g.node_seqs[nid] == seq, nid
+    gfa_paths = {p[0]: [(n, bool(rv)) for n, rv in p[1]] for p in paths}
+    assert sorted(n for n, _ in g.paths) == sorted(gfa_paths)
+    for name, steps in g.paths:
+        assert steps == gfa_paths[name], name
+
+    def canon(a, b):
+        ra, rb = (b[0], not b[1]), (a[0], not a[1])
+        return min((a, b), (ra, rb))
+
+    gfa_e = {canon((f, bool(fr)), (t, bool(tr))) for f, fr, t, tr in links}
+    gbz_e = {canon((f, fr), (t, tr)) for f, fr, t, tr in g.edges}
+    assert gbz_e == gfa_e
+
+
+def test_build_db_from_gbz_identical(ref, tmp_path):
+    """build-db on the GBZ produces a packed graph identical to the
+    GFA-built one."""
+    import numpy as np
+
+    from vgan_tpu import cli
+    from vgan_tpu.graph.packed import PackedGraph
+
+    d1, d2 = tmp_path / "gbz", tmp_path / "gfa"
+    assert cli.main([
+        "build-db", str(ref / "test/input_files/target.giraffe.gbz"),
+        str(d1),
+    ]) == 0
+    assert cli.main([
+        "build-db",
+        str(ref / "test/reconstructInputSeq/target_graph.gfa"), str(d2),
+    ]) == 0
+    a = PackedGraph.load(str(d1 / "graph.npz"))
+    b = PackedGraph.load(str(d2 / "graph.npz"))
+    assert a.min_id == b.min_id
+    np.testing.assert_array_equal(a.node_off, b.node_off)
+    np.testing.assert_array_equal(a.node_seq_pool, b.node_seq_pool)
+    assert a.path_names == b.path_names
+    for sa, sb in zip(a.path_steps_node, b.path_steps_node):
+        np.testing.assert_array_equal(sa, sb)
+    for sa, sb in zip(a.path_steps_rev, b.path_steps_rev):
+        np.testing.assert_array_equal(sa, sb)
+    np.testing.assert_array_equal(a.path_support, b.path_support)
+    ea = {tuple(x) for x in zip(a.edge_from, a.edge_from_rev,
+                                a.edge_to, a.edge_to_rev)}
+    eb = {tuple(x) for x in zip(b.edge_from, b.edge_from_rev,
+                                b.edge_to, b.edge_to_rev)}
+
+    def canon(f, fr, t, tr):
+        x, y = (int(f), bool(fr)), (int(t), bool(tr))
+        rx, ry = (y[0], not y[1]), (x[0], not x[1])
+        return min((x, y), (rx, ry))
+
+    assert {canon(*e) for e in ea} == {canon(*e) for e in eb}

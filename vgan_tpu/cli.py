@@ -546,13 +546,15 @@ def cmd_map(args: List[str]) -> int:
 
 
 def cmd_build_db(args: List[str]) -> int:
-    """build-db <in.gfa|in.vg|in.og> <out_dir> [--k K --w W]: compile
-    a GFA, vg-protobuf or bdsg-ODGI graph into the packed graph +
-    (optionally) persist the minimizer index."""
+    """build-db <in.gfa|in.vg|in.og|in.gbz> <out_dir> [--k K --w W]:
+    compile a GFA, vg-protobuf, bdsg-ODGI or GBZ graph into the packed
+    graph + (optionally) persist the minimizer index."""
     import os
 
     if len(args) < 2:
-        raise SystemExit("usage: vgan build-db in.gfa|in.vg|in.og out_dir")
+        raise SystemExit(
+            "usage: vgan build-db in.gfa|in.vg|in.og|in.gbz out_dir"
+        )
     gfa, out_dir = args[0], args[1]
     os.makedirs(out_dir, exist_ok=True)
     g = _load_one_graph(gfa)
@@ -577,6 +579,10 @@ def _load_one_graph(path: str):
         from .io.odgi import read_og
 
         return read_og(path)
+    if path.endswith(".gbz"):
+        from .io.gbz import load_packed_graph
+
+        return load_packed_graph(path)
     return PackedGraph.from_gfa(path)
 
 
@@ -587,14 +593,15 @@ def _load_graph(prefix: str):
 
     from .graph.packed import PackedGraph  # noqa: F401
 
-    exts = (".npz", ".gfa", ".vg", ".og")
+    exts = (".npz", ".gfa", ".vg", ".og", ".gbz", ".giraffe.gbz")
     if prefix.endswith(exts) and os.path.exists(prefix):
         return _load_one_graph(prefix)
     for ext in exts:
         if os.path.exists(prefix + ext):
             return _load_one_graph(prefix + ext)
     d = os.path.dirname(prefix)
-    for name in ("graph.npz", "graph.gfa", "graph.vg", "graph.og"):
+    for name in ("graph.npz", "graph.gfa", "graph.vg", "graph.og",
+                 "graph.giraffe.gbz"):
         cand = os.path.join(d, name)
         if os.path.exists(cand):
             return _load_one_graph(cand)

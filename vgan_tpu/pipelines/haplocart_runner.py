@@ -49,12 +49,19 @@ def load_db(db_dir: str) -> hc.HaplocartDB:
     (`src/load.cpp`)."""
     gnpz = os.path.join(db_dir, "graph.npz")
     ggfa = os.path.join(db_dir, "graph.gfa")
+    ggbz = os.path.join(db_dir, "graph.giraffe.gbz")
     if os.path.exists(gnpz):
         graph = PackedGraph.load(gnpz)
     elif os.path.exists(ggfa):
         graph = PackedGraph.from_gfa(ggfa)
+    elif os.path.exists(ggbz):
+        # the reference hcfiles layout ships graph.giraffe.gbz
+        # (`src/map_giraffe.cpp:41-55`)
+        from ..io.gbz import load_packed_graph
+
+        graph = load_packed_graph(ggbz)
     else:
-        raise FileNotFoundError(f"no graph.npz/graph.gfa in {db_dir}")
+        raise FileNotFoundError(f"no graph.npz/graph.gfa/.gbz in {db_dir}")
 
     paths_file = os.path.join(db_dir, "graph_paths")
     if os.path.exists(paths_file):
