@@ -47,6 +47,10 @@ def main(argv: List[str] | None = None) -> int:
         return cmd_gam2prof(rest)
     if cmd == "build-db":
         return cmd_build_db(rest)
+    if cmd == "build-hc-db":
+        return cmd_build_hc_db(rest)
+    if cmd == "build-taxon-db":
+        return cmd_build_taxon_db(rest)
     if cmd == "map":
         return cmd_map(rest)
     if cmd == "bench":
@@ -563,6 +567,58 @@ def cmd_build_db(args: List[str]) -> int:
         f"packed {g.n_nodes} nodes / {g.n_paths} paths -> {out_dir}/graph.npz",
         file=sys.stderr,
     )
+    return 0
+
+
+def cmd_build_hc_db(args: List[str]) -> int:
+    """build-hc-db <ref.fa> <haplotypes.fa> <out_dir> [--phylo tree.tsv]
+    [--node-len N]: self-host a HaploCart-layout DB (graph +
+    reference-format sidecars: graph_paths / path_supports /
+    parsed_pangenome_mapping / mappability.tsv / parents.txt /
+    children.txt) from vcf2fasta-style consensus FASTAs. The one-time
+    generator role of `src/readVG.h:31-194` + the mixemt phylotree
+    scripts."""
+    from .db.hc_build import build_hc_db
+
+    pos = [a for a in args if not a.startswith("--")]
+    if len(pos) < 3:
+        raise SystemExit(
+            "usage: vgan build-hc-db ref.fa haps.fa out_dir"
+            " [--phylo tree.tsv] [--node-len N]"
+        )
+    phylo = None
+    node_len = 8
+    i = 0
+    while i < len(args):
+        if args[i] == "--phylo":
+            phylo = _take(args, i); i += 2
+        elif args[i] == "--node-len":
+            node_len = int(_take(args, i)); i += 2
+        else:
+            i += 1
+    g = build_hc_db(pos[0], pos[1], pos[2], phylo_tsv=phylo,
+                    node_len=node_len)
+    print(
+        f"built hcfiles-layout DB: {g.n_nodes} nodes / {g.n_paths} "
+        f"haplotype paths -> {pos[2]}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_build_taxon_db(args: List[str]) -> int:
+    """build-taxon-db <db_dir> <taxon> [out_dir]: subset the per-taxon
+    soibean graph from the super-DB using the clade file's node range
+    (the make_graph_files.sh equivalent,
+    `share/vgan/soibean_dir/make_graph_files.sh`)."""
+    from .db.taxa import build_taxon_db
+
+    if len(args) < 2:
+        raise SystemExit("usage: vgan build-taxon-db db_dir taxon [out_dir]")
+    out = build_taxon_db(
+        args[0], args[1], args[2] if len(args) > 2 else None
+    )
+    print(f"wrote {out}", file=sys.stderr)
     return 0
 
 
