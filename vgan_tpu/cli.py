@@ -24,11 +24,37 @@ def _take(args: List[str], i: int) -> str:
     return args[i + 1]
 
 
+def _strip_multihost_flags(argv: List[str]) -> List[str]:
+    """--coordinator host:port --nproc N --procid I (or VGAN_* env):
+    join the cross-host runtime before dispatch (SURVEY §2.9 comm
+    backend; see parallel/multihost.py)."""
+    import os
+
+    out: List[str] = []
+    i = 0
+    kw = {}
+    while i < len(argv):
+        if argv[i] == "--coordinator":
+            kw["coordinator"] = _take(argv, i); i += 2
+        elif argv[i] == "--nproc":
+            kw["num_processes"] = int(_take(argv, i)); i += 2
+        elif argv[i] == "--procid":
+            kw["process_id"] = int(_take(argv, i)); i += 2
+        else:
+            out.append(argv[i]); i += 1
+    if kw.get("coordinator") or os.environ.get("VGAN_COORDINATOR"):
+        from .parallel import multihost
+
+        multihost.init_distributed(**kw)
+    return out
+
+
 def main(argv: List[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return 0
+    argv = _strip_multihost_flags(argv)
     cmd, rest = argv[0], argv[1:]
     if cmd == "version":
         print(VERSION)

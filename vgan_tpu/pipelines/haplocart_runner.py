@@ -128,17 +128,21 @@ def gamsort(alignments: List[gam.Alignment]) -> List[gam.Alignment]:
 
 
 def get_reads(cfg: HaplocartConfig, fasta_seq: str = "") -> List[fastx.Read]:
+    from ..parallel import multihost
+
     if fasta_seq:
         dq = fastx.dummy_qual_score(cfg.background_error_prob)
-        return [r for r in fastx.fa2fq_reads(fasta_seq, dq) if r.seq]
-    if cfg.fq1 and cfg.fq2:
+        reads = [r for r in fastx.fa2fq_reads(fasta_seq, dq) if r.seq]
+    elif cfg.fq1 and cfg.fq2:
         reads = fastx.read_fastq(cfg.fq1) + fastx.read_fastq(cfg.fq2)
-        return reads
-    if cfg.fq1 and cfg.interleaved:
-        return fastx.read_fastq(cfg.fq1)
-    if cfg.fq1:
-        return fastx.read_fastq(cfg.fq1)
-    raise ValueError("no input")
+    elif cfg.fq1:
+        reads = fastx.read_fastq(cfg.fq1)
+    else:
+        raise ValueError("no input")
+    if multihost.active():
+        # reads shard across processes by rank (SURVEY §2.9 DP row)
+        reads = multihost.shard_reads(reads)
+    return reads
 
 
 def needs_fallback_index(fasta_seq: str) -> bool:
@@ -179,6 +183,10 @@ def run_sample(
     if cfg.gamfile:
         with PROFILER.stage("read_gam"):
             alignments = gam.read_gam(cfg.gamfile)
+        from ..parallel import multihost as _mh
+
+        if _mh.active():
+            alignments = _mh.shard_reads(alignments)
     else:
         pairs = None
         if (cfg.fq2 or cfg.interleaved) and not fasta_seq:
@@ -199,10 +207,23 @@ def run_sample(
                     a.read_paired = True
     alignments = [a for a in alignments if a.identity != 0]  # vg filter -r 1
     alignments = gamsort(alignments)
-    if not alignments:
+    from ..parallel import multihost
+
+    if not alignments and not multihost.active():
         raise RuntimeError("[HaploCart] Error, no reads mapped")
     alignments = hc.remove_duplicates(alignments)
     n_reads = len(alignments)
+    if multihost.active():
+        # cross-host path: this process scored its own read shard (see
+        # run()); accumulators merge with a global psum
+        with PROFILER.stage("score", items=n_reads):
+            final_vec = multihost.score_alignments_multihost(
+                db, alignments,
+                bep=cfg.background_error_prob,
+                is_consensus_fasta=is_consensus,
+            )
+        pred = hc.predict(db, final_vec)
+        return pred, n_reads, final_vec
     with PROFILER.stage("score", items=n_reads):
         if cfg.precise:
             # host f64 oracle (the reference's exact accumulator order)
@@ -289,7 +310,14 @@ def run(cfg: HaplocartConfig) -> List[Tuple[str, str, int]]:
             fallback_mapper[0] = Mapper(db.graph, k=17, w=18)
         return fallback_mapper[0]
 
-    out = sys.stdout if cfg.output == "/dev/stdout" else open(cfg.output, "a")
+    from ..parallel import multihost
+
+    if multihost.active() and not multihost.is_host0():
+        out = open(os.devnull, "w")  # host 0 performs all file output
+    elif cfg.output == "/dev/stdout":
+        out = sys.stdout
+    else:
+        out = open(cfg.output, "a")
     try:
         for idx, (name, fseq) in enumerate(samples):
             pred, n_reads, final_vec = run_sample(
@@ -312,7 +340,9 @@ def run(cfg: HaplocartConfig) -> List[Tuple[str, str, int]]:
                     out.write("#sample\tpredicted haplogroup\treads\n")
                 out.write(f"{name.replace(' ', '_')}\t{pred}\t{n_reads}\n")
             results.append((name, pred, n_reads))
-            if cfg.posterior_file:
+            if cfg.posterior_file and (
+                not multihost.active() or multihost.is_host0()
+            ):
                 post = hc.get_posterior(db, final_vec, pred)
                 with open(cfg.posterior_file, "a") as pfh:
                     pfh.write(
