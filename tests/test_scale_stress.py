@@ -1,0 +1,169 @@
+"""Reference-scale stress tests (VERDICT r1 #5) — run with -m slow.
+
+Shapes from the reference:
+* euka DB: 6,925,366 node rows (`src/load.cpp:264`), ~334 taxa
+  (the 1/334 noise constant, `src/MCMC.cpp:1193`), 21 bins/taxon
+  (`src/Euka.cpp:602-608`).
+* soibean: counts25 [R, P, 25] at a real tree scale — the bundled
+  Ursidae tree (share/vgan/soibean_dir/tree_dir/trees.zip).
+
+Each test prints wall-clock + peak RSS and asserts the shapes fit and
+the pipelines complete.
+"""
+import resource
+import time
+import zipfile
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+N_NODES_REF = 6_925_366
+N_TAXA = 334
+
+
+def _rss_gb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+@pytest.fixture(scope="module")
+def euka_scale_world():
+    """334-taxon world with exactly 6,925,366 nodes (16bp each), one
+    stored path per taxon, 21 bins/taxon."""
+    from vgan_tpu.graph.packed import PackedGraph
+
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    per = N_NODES_REF // N_TAXA
+    counts = np.full(N_TAXA, per, dtype=np.int64)
+    counts[-1] += N_NODES_REF - counts.sum()
+    node_len = 16
+    pool = rng.integers(0, 4, size=N_NODES_REF * node_len, dtype=np.int64
+                        ).astype(np.uint8)
+    node_off = np.arange(N_NODES_REF + 1, dtype=np.int64) * node_len
+    bounds = np.zeros(N_TAXA + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    steps = [
+        np.arange(bounds[i], bounds[i + 1], dtype=np.int32)
+        for i in range(N_TAXA)
+    ]
+    revs = [np.zeros(len(s), dtype=bool) for s in steps]
+    support = np.zeros((N_NODES_REF, N_TAXA), dtype=bool)
+    for j, s in enumerate(steps):
+        support[s, j] = True
+    g = PackedGraph(
+        min_id=1,
+        node_seq_pool=pool,
+        node_off=node_off,
+        edge_from=np.arange(N_NODES_REF - 1, dtype=np.int32),
+        edge_from_rev=np.zeros(N_NODES_REF - 1, dtype=bool),
+        edge_to=np.arange(1, N_NODES_REF, dtype=np.int32),
+        edge_to_rev=np.zeros(N_NODES_REF - 1, dtype=bool),
+        path_names=[f"taxon{i}" for i in range(N_TAXA)],
+        path_steps_node=steps,
+        path_steps_rev=revs,
+        path_support=support,
+    )
+    build_s = time.perf_counter() - t0
+    print(f"\n[scale] euka world: {g.n_nodes:,} nodes x {N_TAXA} taxa "
+          f"built in {build_s:.1f}s, rss={_rss_gb():.1f}GB")
+    return g, bounds
+
+
+def test_euka_db_scale_loads(euka_scale_world):
+    g, bounds = euka_scale_world
+    assert g.n_nodes == N_NODES_REF
+    assert g.n_paths == N_TAXA
+    # node->clade lookup table at scale (the `src/load.cpp:108-157`
+    # clade assignment): one searchsorted over the taxon bounds
+    t0 = time.perf_counter()
+    nodes = np.random.default_rng(1).integers(0, N_NODES_REF, size=1_000_000)
+    clade = np.searchsorted(bounds[1:], nodes, side="right")
+    dt = time.perf_counter() - t0
+    assert clade.max() < N_TAXA
+    print(f"[scale] 1M clade lookups in {dt*1e3:.0f}ms, "
+          f"rss={_rss_gb():.1f}GB")
+
+
+def test_euka_scorer_at_scale(euka_scale_world):
+    """10k reads through the production euka device scorer with the
+    334-taxon clade table; detection + abundance MCMC at reference
+    iteration budget."""
+    import jax.numpy as jnp
+
+    from vgan_tpu.infer.abundance_mcmc import run_mcmc
+    from vgan_tpu.models import phred
+    from vgan_tpu.models.damage import DamageModel
+    from vgan_tpu.pipelines.euka import (
+        BASE_FREQ_LOG, T_T_RATIO, _score_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    B, L = 10_000, 64
+    g = rng.integers(0, 4, size=(B, L)).astype(np.int32)
+    r = np.where(rng.random((B, L)) < 0.95, g,
+                 rng.integers(0, 4, size=(B, L))).astype(np.int32)
+    q = rng.integers(20, 40, size=(B, L)).astype(np.int32)
+    n_pos = np.tile(np.arange(L, dtype=np.int32), (B, 1))
+    L_read = np.full(B, L, np.int32)
+    pair_dist = np.full(B, 0.05)
+    valid = np.ones((B, L), dtype=bool)
+    sub5p, sub3p = DamageModel.none().tables(jnp.float64)
+    qtab = jnp.asarray(phred.qscore_vec())
+    t0 = time.perf_counter()
+    il, nl = _score_batch(
+        jnp.asarray(g), jnp.asarray(r), jnp.asarray(q), jnp.asarray(n_pos),
+        jnp.asarray(L_read), jnp.asarray(pair_dist), jnp.asarray(valid),
+        sub5p, sub3p, qtab, jnp.asarray(BASE_FREQ_LOG),
+        jnp.asarray(T_T_RATIO),
+    )
+    il = np.asarray(il)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(il).all()
+    print(f"[scale] euka scorer: {B} reads x {L}bp in {dt:.2f}s "
+          f"(compile incl.) = {B/dt:.0f} reads/s")
+
+    # abundance MCMC across 334 taxa at the reference budget
+    n_reads = rng.integers(10, 2000, size=N_TAXA).astype(np.float64)
+    slog = -rng.uniform(1, 3, size=N_TAXA) * n_reads
+    init = n_reads / n_reads.sum()
+    t0 = time.perf_counter()
+    res = run_mcmc(n_reads, slog, init, n_iter=10_000, burnin=100)
+    dt = time.perf_counter() - t0
+    assert res.samples.shape[1] == N_TAXA
+    print(f"[scale] abundance MCMC 10k iters x {N_TAXA} taxa in {dt:.1f}s"
+          f" = {10_000/dt:.0f} iters/s, rss={_rss_gb():.1f}GB")
+
+
+def test_soibean_counts25_at_ursidae_scale():
+    """counts25 [R, P, 25] with the real Ursidae tree; 4 chains x 50k
+    iters through the production sampler."""
+    from vgan_tpu.infer import tree_mcmc
+    from vgan_tpu.pipelines import soibean
+    from vgan_tpu.utils.newick import parse_newick
+
+    with zipfile.ZipFile(
+        "/root/reference/share/vgan/soibean_dir/tree_dir/trees.zip"
+    ) as z:
+        tree = parse_newick(z.read("Ursidae.new.dnd").decode())
+    rng = np.random.default_rng(0)
+    R, P = 5000, tree.n_nodes
+    path_map = -rng.uniform(20, 60, size=(R, P))
+    counts25 = rng.integers(0, 3, size=(R, P, 25)).astype(np.float32)
+    freqs = soibean.make_freqs(0.25, 0.25, 0.25, 0.25)
+    leaves = np.nonzero(tree.n_children == 0)[0]
+    C, k = 4, 2
+    srcs = np.tile(leaves[:k], (C, 1)).astype(np.int32)
+    t0 = time.perf_counter()
+    trace = tree_mcmc.run_tree_mcmc_chains(
+        tree, path_map, counts25, srcs, freqs, con=0.01,
+        max_iter=50_000, burn=10_000, num_paths=P,
+        init_loglike=float(path_map[:, srcs[0, 0]].sum()),
+        seeds=np.arange(C),
+    )
+    dt = time.perf_counter() - t0
+    assert np.isfinite(trace.loglike).all()
+    print(f"[scale] soibean: tree n={P}, counts25 {counts25.nbytes/1e6:.0f}MB,"
+          f" {C}x50k iters in {dt:.1f}s = {C*50_000/dt:.0f} iters/s,"
+          f" rss={_rss_gb():.1f}GB")
