@@ -315,6 +315,9 @@ def main():
         "euka_mcmc_iters_per_s": round(euka_ips, 1),
         "soibean_mcmc_iters_per_s": round(soibean_ips, 1),
         "sw_kernel_gcups": round(gcups, 2),
+        # fraction of one-core VPU speed-of-light for the SW recurrence
+        # (~46 f32 ops/cell; see mapper/sw_pallas.py ROOFLINE)
+        "sw_vpu_fraction": round(gcups * 1e9 * 46 / 3.85e12, 3),
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

@@ -17,7 +17,26 @@ evaluated exactly per column with a log-depth doubling cummax.
 Scoring matches mapper/align.py: match +1, mismatch -4, gap open 6,
 gap extend 1, full-length bonus 5 at the read's first row (in-DP) and
 last row (at the max reduction).
+
+ROOFLINE (v5e, measured round 2). The recurrence costs ~46 VPU f32
+ops per DP cell: score 4, diag 5, E 3, H 3, exact-F prefix max
+3*ceil(log2 R) = 21 (the dominant term), F-combine 6, masking 3,
+best-reduce ~1. One v5e core's VPU peak is ~3.85e12 f32 ops/s
+(4 SIMD subunits x (8x128) lanes x 940 MHz). Measured 39.4 GCUPS
+=> 39.4e9 * 46 = 1.81e12 ops/s = ~47% of VPU speed-of-light; the gap
+is the serial column scan's load/store of the [R+1, B] carry between
+steps (HBM/VMEM traffic XLA cannot fully fuse). A Pallas grid version
+would keep the carry resident in VMEM — the axon remote compiler
+still cannot lower gridded Pallas (re-tested this round:
+"failed to legalize operation 'func.return'" in Mosaic), so the XLA
+scan twin below remains the production path and the Pallas kernel is
+validated in interpret mode.
 """
+
+# ops/cell of the scan recurrence (see ROOFLINE above)
+OPS_PER_CELL = 46
+# one v5e core VPU peak, f32 ops/s
+V5E_VPU_PEAK = 3.85e12
 from __future__ import annotations
 
 from functools import partial
