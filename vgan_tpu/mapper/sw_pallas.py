@@ -32,11 +32,6 @@ still cannot lower gridded Pallas (re-tested this round:
 scan twin below remains the production path and the Pallas kernel is
 validated in interpret mode.
 """
-
-# ops/cell of the scan recurrence (see ROOFLINE above)
-OPS_PER_CELL = 46
-# one v5e core VPU peak, f32 ops/s
-V5E_VPU_PEAK = 3.85e12
 from __future__ import annotations
 
 from functools import partial
@@ -50,6 +45,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .align import FULL_LENGTH_BONUS, GAP_EXT, GAP_OPEN, MATCH, MISMATCH
 
 NEG = -1e9  # python scalar: jnp constants would be captured as tracers
+
+# ops/cell of the scan recurrence and one v5e core's VPU f32 peak
+# (see ROOFLINE in the module docstring)
+OPS_PER_CELL = 46
+V5E_VPU_PEAK = 3.85e12
 
 
 def _cummax_rows(x, row_ids):
