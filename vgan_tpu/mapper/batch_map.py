@@ -385,7 +385,36 @@ def gather_and_score(mapper, reads, max_candidates: int = 8,
 # ---------------------------------------------------------------- finalize
 def finalize_batch(mapper, reads, br: Optional[BatchResult]
                    ) -> List[gam.Alignment]:
-    """Run the native batch finalize and materialize gam.Alignments."""
+    """Native batch finalize, materialized to gam.Alignment objects."""
+    return finalize_table(mapper, reads, br).to_alignments()
+
+
+def _empty_table(reads) -> "AlignmentTable":
+    t = AlignmentTable()
+    t.names = [r.name for r in reads]
+    t.seqs = [r.seq for r in reads]
+    t.quals = [bytes(r.qual or b"") for r in reads]
+    n = len(reads)
+    t.score = np.zeros(n, dtype=np.int32)
+    t.identity = np.zeros(n, dtype=np.float64)
+    t.mq = np.zeros(n, dtype=np.int32)
+    t.nmap = np.zeros(n, dtype=np.int32)
+    t.map_off = np.zeros(n + 1, dtype=np.int64)
+    t.m_node = np.zeros(0, dtype=np.int64)
+    t.m_off = np.zeros(0, dtype=np.int32)
+    t.m_rev = np.zeros(0, dtype=np.uint8)
+    t.e_off = np.zeros(1, dtype=np.int64)
+    t.e_from = np.zeros(0, dtype=np.int32)
+    t.e_to = np.zeros(0, dtype=np.int32)
+    t.e_soff = np.zeros(1, dtype=np.int64)
+    t.eseq = b""
+    t.read_paired = np.zeros(n, dtype=bool)
+    return t
+
+
+def finalize_table(mapper, reads, br: Optional[BatchResult]
+                   ) -> "AlignmentTable":
+    """Run the native batch finalize; columnar output."""
     lib = load_native()
     assert lib is not None
     n_reads = len(reads)
@@ -393,11 +422,7 @@ def finalize_batch(mapper, reads, br: Optional[BatchResult]
     pools = mapper._pools.arrays()
 
     if br is None:
-        return [
-            gam.Alignment(sequence=r.seq, name=r.name,
-                          quality=bytes(r.qual or b""))
-            for r in reads
-        ]
+        return _empty_table(reads)
 
     # per-read winner tables
     w_has = br.w_has.copy()
@@ -536,41 +561,94 @@ def finalize_batch(mapper, reads, br: Optional[BatchResult]
     if rc != 0:
         raise RuntimeError(f"map_finalize_batch overflow at read {-rc - 1}")
 
-    # materialize
-    eseq = o_eseq.raw
+    retry = np.nonzero(o_nmap == -2)[0]
+    if len(retry):
+        # rare: perfect-score search miss with no window built — run
+        # the per-read slow path for those reads, then rebuild the
+        # table from objects (keeps the columnar contract)
+        out = _materialize(reads, o_nmap, o_score, o_ident, o_mq, o_mnode,
+                           o_moff, o_mrev, o_mne, o_efrom, o_eto, o_eslen,
+                           o_eseq.raw)
+        from .giraffe import Candidate
+
+        for i in retry:
+            row = int(br.w_cand[i])
+            cand = Candidate(
+                path=int(br.cand_path[row]),
+                strand=bool(br.cand_strand[row]),
+                diag_lo=0, diag_hi=0, n_seeds=0,
+            )
+            cand_rec = (
+                i, cand,
+                pools.pc_buf[
+                    pools.pc_beg[cand.path] + br.cand_lo[row] :
+                    pools.pc_beg[cand.path] + br.cand_lo[row]
+                    + br.cand_wlen[row]
+                ],
+                int(br.cand_lo[row]),
+            )
+            second = float(br.w_second[i]) if br.w_has2[i] else None
+            out[i] = mapper._finalize(
+                reads[i], br.read_codes[i], cand_rec,
+                float(br.scores[row]), second,
+            )
+        return table_from_alignments(out)
+
+    M = int(counts[0])
+    E = int(counts[1])
+    SB = int(counts[2])
+    t = AlignmentTable()
+    t.names = [r.name for r in reads]
+    t.seqs = [r.seq for r in reads]
+    t.quals = [bytes(r.qual or b"") for r in reads]
+    t.score = o_score
+    t.identity = o_ident
+    t.mq = o_mq
+    t.nmap = o_nmap
+    t.map_off = np.zeros(n_reads + 1, dtype=np.int64)
+    np.cumsum(o_nmap, out=t.map_off[1:])
+    t.m_node = o_mnode[:M]
+    t.m_off = o_moff[:M]
+    t.m_rev = o_mrev[:M]
+    t.e_off = np.zeros(M + 1, dtype=np.int64)
+    np.cumsum(o_mne[:M], out=t.e_off[1:])
+    t.e_from = o_efrom[:E]
+    t.e_to = o_eto[:E]
+    t.e_soff = np.zeros(E + 1, dtype=np.int64)
+    np.cumsum(o_eslen[:E], out=t.e_soff[1:])
+    t.eseq = o_eseq.raw[:SB]
+    t.read_paired = np.zeros(n_reads, dtype=bool)
+    return t
+
+
+def _materialize(reads, nmap, score, ident, mq, m_node, m_off, m_rev,
+                 m_ne, e_from, e_to, e_slen, eseq) -> List[gam.Alignment]:
     out: List[gam.Alignment] = []
     mi = ei = si = 0
     Alignment, Path, Mapping, Position, Edit = (
         gam.Alignment, gam.Path, gam.Mapping, gam.Position, gam.Edit
     )
-    retry = []
     for i, r in enumerate(reads):
-        nm = int(o_nmap[i])
+        nm = int(nmap[i])
         a = Alignment(sequence=r.seq, name=r.name,
                       quality=bytes(r.qual or b""))
-        if nm == -2:
-            retry.append(i)
-            out.append(a)
-            continue
         if nm > 0:
             mappings = []
             for k in range(nm):
-                ne = int(o_mne[mi])
+                ne = int(m_ne[mi])
                 edits = []
                 for _ in range(ne):
-                    sl = int(o_eslen[ei])
+                    sl = int(e_slen[ei])
                     seq = eseq[si : si + sl].decode() if sl else ""
-                    edits.append(
-                        Edit(int(o_efrom[ei]), int(o_eto[ei]), seq)
-                    )
+                    edits.append(Edit(int(e_from[ei]), int(e_to[ei]), seq))
                     si += sl
                     ei += 1
                 mappings.append(
                     Mapping(
                         position=Position(
-                            node_id=int(o_mnode[mi]),
-                            offset=int(o_moff[mi]),
-                            is_reverse=bool(o_mrev[mi]),
+                            node_id=int(m_node[mi]),
+                            offset=int(m_off[mi]),
+                            is_reverse=bool(m_rev[mi]),
                         ),
                         edits=edits,
                         rank=k + 1,
@@ -578,35 +656,170 @@ def finalize_batch(mapper, reads, br: Optional[BatchResult]
                 )
                 mi += 1
             a.path = Path(mappings=mappings)
-            a.score = int(o_score[i])
-            a.identity = float(o_ident[i])
-            a.mapping_quality = int(o_mq[i])
+            a.score = int(score[i])
+            a.identity = float(ident[i])
+            a.mapping_quality = int(mq[i])
         out.append(a)
-
-    # rare retries (perfect-score search miss with no window built):
-    # run the per-read slow path
-    for i in retry:
-        row = int(br.w_cand[i])
-        from .giraffe import Candidate
-
-        cand = Candidate(
-            path=int(br.cand_path[row]),
-            strand=bool(br.cand_strand[row]),
-            diag_lo=0, diag_hi=0, n_seeds=0,
-        )
-        cand_rec = (
-            i, cand,
-            pools.pc_buf[
-                pools.pc_beg[cand.path] + br.cand_lo[row] :
-                pools.pc_beg[cand.path] + br.cand_lo[row] + br.cand_wlen[row]
-            ],
-            int(br.cand_lo[row]),
-        )
-        second = (
-            float(br.w_second[i]) if br.w_has2[i] else None
-        )
-        out[i] = mapper._finalize(
-            reads[i], br.read_codes[i], cand_rec,
-            float(br.scores[row]), second,
-        )
     return out
+
+
+class AlignmentTable:
+    """Columnar alignment batch — the mapper's TPU-native output form.
+
+    Per read: names/seqs/quals (host lists), score/identity/mq/nmap,
+    map_off [n+1]. Per mapping: m_node/m_off/m_rev, e_off [M+1].
+    Per edit: e_from/e_to, e_soff [E+1] into the eseq byte pool.
+    The production haplocart path consumes this directly
+    (pipelines/hc_columnar.py); `to_alignments()` materializes
+    gam.Alignment objects for GAM output and the object-based APIs.
+    """
+
+    __slots__ = (
+        "names", "seqs", "quals", "score", "identity", "mq", "nmap",
+        "map_off", "m_node", "m_off", "m_rev", "e_off", "e_from", "e_to",
+        "e_soff", "eseq", "read_paired",
+    )
+
+    @property
+    def n(self) -> int:
+        return len(self.names)
+
+    def to_alignments(self) -> List[gam.Alignment]:
+        from ..io.fastx import Read
+
+        reads = [
+            Read(name=n, seq=s, qual=q)
+            for n, s, q in zip(self.names, self.seqs, self.quals)
+        ]
+        e_slen = np.diff(self.e_soff).astype(np.int32)
+        m_ne = np.diff(self.e_off).astype(np.int32)
+        out = _materialize(
+            reads, self.nmap, self.score, self.identity, self.mq,
+            self.m_node, self.m_off, self.m_rev, m_ne, self.e_from,
+            self.e_to, e_slen, self.eseq,
+        )
+        for a, p in zip(out, self.read_paired):
+            a.read_paired = bool(p)
+        return out
+
+    def select(self, idx: np.ndarray) -> "AlignmentTable":
+        """Row subset/reorder by read indices (filter / sort / dedup)."""
+        idx = np.asarray(idx)
+        if idx.dtype == bool:
+            idx = np.nonzero(idx)[0]
+        t = AlignmentTable()
+        t.names = [self.names[i] for i in idx]
+        t.seqs = [self.seqs[i] for i in idx]
+        t.quals = [self.quals[i] for i in idx]
+        t.score = self.score[idx]
+        t.identity = self.identity[idx]
+        t.mq = self.mq[idx]
+        t.nmap = self.nmap[idx]
+        t.read_paired = self.read_paired[idx]
+        nm = t.nmap.astype(np.int64)
+        t.map_off = np.zeros(len(idx) + 1, dtype=np.int64)
+        np.cumsum(nm, out=t.map_off[1:])
+        # gather mapping rows
+        M = int(t.map_off[-1])
+        rows = np.zeros(M, dtype=np.int64)
+        pos = 0
+        starts = self.map_off[idx]
+        for k in range(len(idx)):
+            c = int(nm[k])
+            rows[pos : pos + c] = np.arange(starts[k], starts[k] + c)
+            pos += c
+        t.m_node = self.m_node[rows]
+        t.m_off = self.m_off[rows]
+        t.m_rev = self.m_rev[rows]
+        ne = (self.e_off[rows + 1] - self.e_off[rows]).astype(np.int64)
+        t.e_off = np.zeros(M + 1, dtype=np.int64)
+        np.cumsum(ne, out=t.e_off[1:])
+        E = int(t.e_off[-1])
+        erows = np.zeros(E, dtype=np.int64)
+        pos = 0
+        for k in range(M):
+            c = int(ne[k])
+            s = int(self.e_off[rows[k]])
+            erows[pos : pos + c] = np.arange(s, s + c)
+            pos += c
+        t.e_from = self.e_from[erows]
+        t.e_to = self.e_to[erows]
+        sl = (self.e_soff[erows + 1] - self.e_soff[erows]).astype(np.int64)
+        t.e_soff = np.zeros(E + 1, dtype=np.int64)
+        np.cumsum(sl, out=t.e_soff[1:])
+        eb = bytearray()
+        for k in range(E):
+            s = int(self.e_soff[erows[k]])
+            eb += self.eseq[s : s + int(sl[k])]
+        t.eseq = bytes(eb)
+        return t
+
+    def first_positions(self):
+        """Per read: (first node_id, first offset, last node_id, last
+        offset) of its mappings (zeros when unmapped) — the gamsort /
+        duprm coordinates."""
+        n = self.n
+        if len(self.m_node) == 0:
+            z = np.zeros(n, dtype=np.int64)
+            return z, z.copy(), z.copy(), z.copy()
+        first = np.minimum(self.map_off[:-1], len(self.m_node) - 1)
+        last = np.minimum(
+            np.maximum(self.map_off[1:] - 1, self.map_off[:-1]),
+            len(self.m_node) - 1,
+        )
+        has = self.nmap > 0
+        fn = np.where(has, self.m_node[first], 0)
+        fo = np.where(has, self.m_off[first], 0)
+        ln = np.where(has, self.m_node[last], 0)
+        lo = np.where(has, self.m_off[last], 0)
+        return fn, fo, ln, lo
+
+
+def table_from_alignments(alignments) -> AlignmentTable:
+    """Objects -> columnar table (GAM-input path + retry fallback)."""
+    t = AlignmentTable()
+    t.names = [a.name for a in alignments]
+    t.seqs = [a.sequence for a in alignments]
+    t.quals = [bytes(a.quality or b"") for a in alignments]
+    n = len(alignments)
+    t.score = np.array([a.score for a in alignments], dtype=np.int32)
+    t.identity = np.array([a.identity for a in alignments],
+                          dtype=np.float64)
+    t.mq = np.array([a.mapping_quality for a in alignments], dtype=np.int32)
+    t.read_paired = np.array([a.read_paired for a in alignments],
+                             dtype=bool)
+    t.nmap = np.array(
+        [len(a.path.mappings) if a.identity != 0 else 0
+         for a in alignments],
+        dtype=np.int32,
+    )
+    t.map_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(t.nmap, out=t.map_off[1:])
+    m_node, m_off, m_rev, e_cnt = [], [], [], []
+    e_from, e_to, seqs = [], [], []
+    for a in alignments:
+        if a.identity == 0:
+            continue
+        for m in a.path.mappings:
+            m_node.append(m.position.node_id)
+            m_off.append(m.position.offset)
+            m_rev.append(1 if m.position.is_reverse else 0)
+            e_cnt.append(len(m.edits))
+            for e in m.edits:
+                e_from.append(e.from_length)
+                e_to.append(e.to_length)
+                seqs.append(e.sequence)
+    M = len(m_node)
+    t.m_node = np.array(m_node, dtype=np.int64)
+    t.m_off = np.array(m_off, dtype=np.int32)
+    t.m_rev = np.array(m_rev, dtype=np.uint8)
+    t.e_off = np.zeros(M + 1, dtype=np.int64)
+    np.cumsum(np.array(e_cnt, dtype=np.int64), out=t.e_off[1:])
+    E = len(e_from)
+    t.e_from = np.array(e_from, dtype=np.int32)
+    t.e_to = np.array(e_to, dtype=np.int32)
+    t.e_soff = np.zeros(E + 1, dtype=np.int64)
+    np.cumsum(np.array([len(s) for s in seqs], dtype=np.int64),
+              out=t.e_soff[1:])
+    t.eseq = "".join(seqs).encode()
+    return t

@@ -466,6 +466,21 @@ class BatchedMapper(Mapper):
         br = batch_map.gather_and_score(self, reads, max_candidates, pad)
         return batch_map.finalize_batch(self, reads, br)
 
+    def map_reads_table(self, reads, max_candidates: int = 8,
+                        pad: int = 24):
+        """Batch mapping with columnar output (batch_map.AlignmentTable)
+        — the production form consumed by the haplocart columnar
+        pipeline (pipelines/hc_columnar.py); no per-read Python objects
+        are built. Requires the native lib."""
+        from . import batch_map
+
+        if batch_map.load_native() is None:
+            return batch_map.table_from_alignments(
+                self._map_reads_obj(reads, max_candidates, pad)
+            )
+        br = batch_map.gather_and_score(self, reads, max_candidates, pad)
+        return batch_map.finalize_table(self, reads, br)
+
     def _map_reads_obj(self, reads, max_candidates: int = 8, pad: int = 24):
         read_codes, all_cands, scores, best_of = self._gather_candidates(
             reads, max_candidates, pad

@@ -200,6 +200,37 @@ def run_sample(
                 alignments = mapper.map_read_pairs(pairs[0], pairs[1])
         else:
             reads = get_reads(cfg, fasta_seq)
+            from ..mapper.batch_map import load_native
+            from ..parallel import multihost
+
+            if (
+                not cfg.precise
+                and not multihost.active()
+                and load_native() is not None
+            ):
+                # COLUMNAR production path: the whole
+                # filter->sort->dedup->reconstruct->score chain runs as
+                # array passes with no per-read Python objects
+                # (pipelines/hc_columnar.py); parity with the object
+                # path is test-asserted
+                from . import hc_columnar
+
+                with PROFILER.stage("map", items=len(reads)):
+                    table = mapper.map_reads_table(reads)
+                if cfg.fq2 or cfg.interleaved:
+                    table.read_paired[:] = True
+                table = hc_columnar.filter_sort_dedup(table)
+                if table.n == 0:
+                    raise RuntimeError("[HaploCart] Error, no reads mapped")
+                n_reads = table.n
+                with PROFILER.stage("score", items=n_reads):
+                    final_vec = hc_columnar.score_table_device(
+                        db, table,
+                        background_error_prob=cfg.background_error_prob,
+                        is_consensus_fasta=is_consensus,
+                    )
+                pred = hc.predict(db, final_vec)
+                return pred, n_reads, final_vec
             with PROFILER.stage("map", items=len(reads)):
                 alignments = mapper.map_reads(reads)
             if cfg.fq2 or cfg.interleaved:

@@ -1,0 +1,325 @@
+"""Columnar HaploCart pipeline: mapper table -> device scorer with no
+per-read Python objects.
+
+The production FASTQ path (`src/HaploCart.cpp:313-421` stage chain) as
+array passes over mapper/batch_map.AlignmentTable:
+
+  filter   identity != 0 mask            (vg filter -r 1)
+  gamsort  lexsort by (first node, off)  (`src/haplocart_functions.cpp:46-78`)
+  duprm    unique start coordinate       (`src/rmdup.cpp:20-124`)
+  recon    C++ batch reconstruction      (cpp/reconstruct.cpp, the
+           `src/vgan_utils.h:6-79` expansion incl. quirks)
+  batch    vectorized HcBatch assembly   (same quirks as
+           haplocart_device.batch_from_alignments: read row from the
+           read start, per-EDIT sizes indexed per mapping, quality at
+           aligned coordinates, cumulative-logq unsupported penalty)
+  score    haplocart_device.score_batch / the sharded mesh step
+
+Parity: tests/test_hc_columnar.py asserts the final_vec equals the
+object path bit-for-bit on mapper output.
+"""
+from __future__ import annotations
+
+import ctypes
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..mapper.batch_map import AlignmentTable, _p, load_native
+from ..models import phred
+from ..utils import dna
+
+
+# ------------------------------------------------------------ stage chain
+def filter_sort_dedup(t: AlignmentTable) -> AlignmentTable:
+    """vg filter -r 1 -> gamsort -> Dup_Remover, as array ops."""
+    mapped = t.identity != 0
+    t = t.select(mapped)
+    fn, fo, ln, lo = t.first_positions()
+    order = np.lexsort((fo, fn))
+    t = t.select(order)
+    fn, fo, ln, lo = t.first_positions()
+    paired = t.read_paired
+    # duplicate keys: single-end (node, off); paired adds the last
+    # mapping's coordinate (`src/rmdup.cpp:43-67`)
+    keys = np.stack(
+        [paired.astype(np.int64), fn, fo,
+         np.where(paired, ln, 0), np.where(paired, lo, 0)], axis=1
+    )
+    # keep FIRST occurrence in current (sorted) order
+    _uniq, first_idx = np.unique(keys, axis=0, return_index=True)
+    keep = np.zeros(t.n, dtype=bool)
+    keep[first_idx] = True
+    return t.select(keep)
+
+
+# ------------------------------------------------------------ reconstruction
+def _setup_reconstruct(lib):
+    if getattr(lib, "_recon_ready", False):
+        return
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.reconstruct_batch.restype = ctypes.c_int64
+    lib.reconstruct_batch.argtypes = [
+        ctypes.c_int64,
+        i64p, i64p, i32p, u8p,            # map_off, m_node, m_off, m_rev
+        i64p, i32p, i32p, i64p,           # e_off, e_from, e_to, e_soff
+        ctypes.c_char_p,                  # eseq
+        u8p, i64p, ctypes.c_int64,        # node pool, node_off, min_id
+        i64p, u8p, i64p,                  # g_off, out_g, out_g_len
+        i64p, u8p, i64p,                  # r_off, out_r, out_r_len
+        i64p, i32p, i64p,                 # s_off, out_sizes, out_s_len
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib._recon_ready = True
+
+
+def reconstruct_table(graph, t: AlignmentTable):
+    """C++ batch reconstruction. Returns (g_cat, g_off, g_len, r_cat,
+    r_off, r_len, sizes_cat, s_off, s_len) — code arrays, one row range
+    per alignment."""
+    lib = load_native()
+    _setup_reconstruct(lib)
+    n = t.n
+    i32, i64, u8 = ctypes.c_int32, ctypes.c_int64, ctypes.c_uint8
+    # per-alignment caps: graph side <= sum(from)+sum(to); read side
+    # <= sum(to)+sum(from); sizes = n_edits
+    ef = t.e_from.astype(np.int64)
+    et = t.e_to.astype(np.int64)
+    e_per_map = np.diff(t.e_off)
+    # per-aln edit ranges
+    aln_e0 = t.e_off[t.map_off[:-1]]
+    aln_e1 = t.e_off[t.map_off[1:]]
+    ecum = np.zeros(len(ef) + 1, dtype=np.int64)
+    np.cumsum(ef + et, out=ecum[1:])
+    cap_per = ecum[aln_e1] - ecum[aln_e0] + 8
+    g_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cap_per, out=g_off[1:])
+    r_off = g_off.copy()
+    s_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(aln_e1 - aln_e0, out=s_off[1:])
+    g_cat = np.zeros(int(g_off[-1]), dtype=np.uint8)
+    r_cat = np.zeros(int(r_off[-1]), dtype=np.uint8)
+    sizes = np.zeros(max(int(s_off[-1]), 1), dtype=np.int32)
+    g_len = np.zeros(n, dtype=np.int64)
+    r_len = np.zeros(n, dtype=np.int64)
+    s_len = np.zeros(n, dtype=np.int64)
+    node_pool = np.ascontiguousarray(graph.node_seq_pool, dtype=np.uint8)
+    node_off = np.ascontiguousarray(graph.node_off, dtype=np.int64)
+    rc = lib.reconstruct_batch(
+        n,
+        _p(np.ascontiguousarray(t.map_off), i64),
+        _p(np.ascontiguousarray(t.m_node), i64),
+        _p(np.ascontiguousarray(t.m_off), i32),
+        _p(np.ascontiguousarray(t.m_rev), u8),
+        _p(np.ascontiguousarray(t.e_off), i64),
+        _p(np.ascontiguousarray(t.e_from), i32),
+        _p(np.ascontiguousarray(t.e_to), i32),
+        _p(np.ascontiguousarray(t.e_soff), i64),
+        t.eseq,
+        _p(node_pool, u8), _p(node_off, i64), graph.min_id,
+        _p(g_off, i64), _p(g_cat, u8), _p(g_len, i64),
+        _p(r_off, i64), _p(r_cat, u8), _p(r_len, i64),
+        _p(s_off, i64), _p(sizes, i32), _p(s_len, i64),
+        len(g_cat), len(r_cat), len(sizes),
+    )
+    if rc != 0:
+        raise RuntimeError(f"reconstruct_batch overflow at aln {-rc - 1}")
+    return g_cat, g_off, g_len, r_cat, r_off, r_len, sizes, s_off, s_len
+
+
+# ------------------------------------------------------------ batch build
+def hc_batch_from_table(db, t: AlignmentTable,
+                        max_node_len: int = 0, bucket_m: bool = True):
+    """AlignmentTable -> HcBatch, fully vectorized across reads (the
+    columnar twin of haplocart_device.batch_from_alignments — same
+    quirks, one pass)."""
+    import jax.numpy as jnp
+
+    from .haplocart_device import HcBatch
+
+    graph = db.graph
+    has = (t.identity > 1e-10) & (t.nmap > 0)
+    if not has.all():
+        t = t.select(has)
+    if t.n == 0:
+        return None
+    n = t.n
+    g_cat, g_off, g_len, r_cat, r_off, r_len, sizes, s_off, s_len = (
+        reconstruct_table(graph, t)
+    )
+    qscore = phred.qscore_vec()
+    log_q0 = float(np.log(qscore[0]))
+
+    nmap = t.nmap.astype(np.int64)
+    M = int(nmap.sum())
+    aln_of_m = np.repeat(np.arange(n), nmap)
+    # size_m: per-EDIT sizes indexed per MAPPING (reference quirk,
+    # `src/update_likelihood.cpp:36`): mapping k of read a uses
+    # sizes[s_off[a] + k] when k < s_len[a], else 0
+    k_in_aln = np.arange(M) - t.map_off[:-1][aln_of_m]
+    sidx = s_off[:-1][aln_of_m] + k_in_aln
+    valid_size = k_in_aln < s_len[aln_of_m]
+    size_m = np.where(
+        valid_size, sizes[np.minimum(sidx, len(sizes) - 1)], 0
+    ).astype(np.int64)
+    # per-read mapping starts = exclusive cumsum of size_m within read
+    cs = np.concatenate([[0], np.cumsum(size_m)[:-1]])
+    first_m = t.map_off[:-1]
+    starts = cs - np.repeat(cs[first_m], nmap)
+
+    S = max_node_len if max_node_len > 0 else max(
+        8, -(-int(size_m.max(initial=1)) // 8) * 8
+    )
+    col = np.arange(S, dtype=np.int64)
+    take = np.minimum(size_m, S)
+    v = col[None, :] < take[:, None]
+
+    # graph rows: gather from g_cat at g_off[aln] + starts + col
+    gpos = g_off[:-1][aln_of_m][:, None] + starts[:, None] + col[None, :]
+    in_g = (starts[:, None] + col[None, :]) < g_len[aln_of_m][:, None]
+    np.clip(gpos, 0, max(len(g_cat) - 1, 0), out=gpos)
+    g_rows = np.where(v & in_g, g_cat[gpos], 255).astype(np.int32)
+
+    # read rows: first `take` codes of the reconstructed read from its
+    # START (reference quirk), shared across the read's mappings
+    rpos = r_off[:-1][aln_of_m][:, None] + col[None, :]
+    in_r = col[None, :] < r_len[aln_of_m][:, None]
+    np.clip(rpos, 0, max(len(r_cat) - 1, 0), out=rpos)
+    r_rows = np.where(v & in_r, r_cat[rpos], 255).astype(np.int32)
+
+    # qualities at aligned coordinates over the zero-padded quality
+    # array of conceptual length 2L+8
+    L_read = np.array([len(s) for s in t.seqs], dtype=np.int64)
+    qlen_pad = 2 * L_read + 8
+    q_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(qlen_pad, out=q_off[1:])
+    q_cat = np.zeros(int(q_off[-1]), dtype=np.int64)
+    for i, qb in enumerate(t.quals):
+        if qb:
+            a = np.frombuffer(qb, dtype=np.uint8)
+            q_cat[q_off[i] : q_off[i] + len(a)] = a
+    qpos = q_off[:-1][aln_of_m][:, None] + starts[:, None] + col[None, :]
+    in_q = (starts[:, None] + col[None, :]) < qlen_pad[aln_of_m][:, None]
+    np.clip(qpos, 0, max(len(q_cat) - 1, 0), out=qpos)
+    q_rows = np.where(v & in_q, q_cat[qpos], 0).astype(np.int32)
+
+    # unsupported-path penalty per mapping: cumulative log q over
+    # [start, start+L) of the padded quality array
+    logq_cat = np.log(qscore[np.clip(q_cat, 0, 99)])
+    cum = np.zeros(len(logq_cat) + 1, dtype=np.float64)
+    np.cumsum(logq_cat, out=cum[1:])
+    Lm = L_read[aln_of_m]
+    ends = starts + Lm
+    lim = qlen_pad[aln_of_m]
+    in_range = np.minimum(ends, lim)
+    s_clip = np.minimum(starts, lim)
+    qbase = q_off[:-1][aln_of_m]
+    bvec = (
+        cum[qbase + in_range] - cum[qbase + s_clip]
+        + (ends - in_range) * log_q0
+    )
+
+    nidx = (t.m_node - graph.min_id).astype(np.int32)
+    pang = db.pangenome_base[nidx].astype(np.int32)
+    mq = np.minimum(t.mq, 99).astype(np.int32)[aln_of_m]
+    # sticky qual>=90 flag per read (`src/update_likelihood.cpp:42`)
+    has_q90 = np.array(
+        [bool(qb) and (np.frombuffer(qb, dtype=np.uint8) >= 90).any()
+         for qb in t.quals],
+        dtype=bool,
+    )
+    use_bep = has_q90[aln_of_m]
+
+    pad = 0
+    if bucket_m:
+        target = 256
+        while target < M:
+            target *= 2
+        pad = target - M
+
+    def _pad(x, fill=0):
+        if not pad:
+            return x
+        shape = (pad,) + x.shape[1:]
+        return np.concatenate([x, np.full(shape, fill, x.dtype)])
+
+    return HcBatch(
+        g=jnp.asarray(_pad(g_rows, 255)),
+        r=jnp.asarray(_pad(r_rows, 255)),
+        q=jnp.asarray(_pad(q_rows)),
+        pang=jnp.asarray(_pad(pang)),
+        mq=jnp.asarray(_pad(mq)),
+        b=jnp.asarray(_pad(bvec)),
+        node=jnp.asarray(_pad(nidx)),
+        valid=jnp.asarray(_pad(v, False)),
+        use_bep=jnp.asarray(_pad(use_bep, False)),
+    )
+
+
+def score_table_device(
+    db,
+    t: AlignmentTable,
+    background_error_prob: float = 1e-4,
+    is_consensus_fasta: bool = False,
+    mesh="auto",
+) -> np.ndarray:
+    """Columnar twin of haplocart_device.score_alignments_device."""
+    import jax.numpy as jnp
+
+    from ..utils import guards
+    from .haplocart_device import (
+        _default_dtype,
+        make_tables_from_db,
+        score_batch,
+    )
+
+    if mesh == "auto":
+        from ..parallel.mesh import auto_mesh
+
+        mesh = auto_mesh()
+    tables = getattr(db, "_device_tables", None)
+    if tables is None:
+        tables = make_tables_from_db(db, _default_dtype())
+        db._device_tables = tables
+    batch = hc_batch_from_table(db, t)
+    if batch is None:
+        raise RuntimeError("[HaploCart] Error, no reads mapped")
+    dt = tables.support.dtype
+    batch = batch._replace(b=batch.b.astype(dt))
+    if is_consensus_fasta:
+        batch = batch._replace(use_bep=jnp.ones_like(batch.use_bep))
+    if mesh is not None:
+        from ..parallel.mesh import (
+            shard_batch,
+            shard_tables,
+            sharded_score_fn,
+        )
+
+        cache = getattr(db, "_sharded_cache", None)
+        if cache is None:
+            cache = db._sharded_cache = {}
+        key = (id(mesh), float(background_error_prob), is_consensus_fasta)
+        entry = cache.get(key)
+        if entry is None:
+            entry = (
+                sharded_score_fn(
+                    mesh, bep=background_error_prob,
+                    consensus=is_consensus_fasta,
+                ),
+                shard_tables(tables, mesh),
+            )
+            cache[key] = entry
+        fn, sh_tables = entry
+        out = fn(shard_batch(batch, mesh), sh_tables)
+        out = np.asarray(out, dtype=np.float64)[: len(db.path_names)]
+    else:
+        out = score_batch(
+            batch, tables,
+            bep=jnp.asarray(background_error_prob, dt),
+            consensus=is_consensus_fasta,
+        )
+        out = np.asarray(out, dtype=np.float64)
+    guards.check_finite(out, "haplocart final_vec (columnar)")
+    return out
