@@ -702,8 +702,23 @@ class AlignmentTable:
             a.read_paired = bool(p)
         return out
 
+    @staticmethod
+    def _ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """Concatenate [starts[i], starts[i]+counts[i]) ranges,
+        vectorized."""
+        total = int(counts.sum())
+        if total == 0:
+            return np.zeros(0, dtype=np.int64)
+        off = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            off[:-1], counts
+        )
+        return np.repeat(starts.astype(np.int64), counts) + within
+
     def select(self, idx: np.ndarray) -> "AlignmentTable":
-        """Row subset/reorder by read indices (filter / sort / dedup)."""
+        """Row subset/reorder by read indices (filter / sort / dedup) —
+        pure array gathers."""
         idx = np.asarray(idx)
         if idx.dtype == bool:
             idx = np.nonzero(idx)[0]
@@ -719,39 +734,27 @@ class AlignmentTable:
         nm = t.nmap.astype(np.int64)
         t.map_off = np.zeros(len(idx) + 1, dtype=np.int64)
         np.cumsum(nm, out=t.map_off[1:])
-        # gather mapping rows
-        M = int(t.map_off[-1])
-        rows = np.zeros(M, dtype=np.int64)
-        pos = 0
-        starts = self.map_off[idx]
-        for k in range(len(idx)):
-            c = int(nm[k])
-            rows[pos : pos + c] = np.arange(starts[k], starts[k] + c)
-            pos += c
+        rows = self._ranges(self.map_off[idx], nm)
+        M = len(rows)
         t.m_node = self.m_node[rows]
         t.m_off = self.m_off[rows]
         t.m_rev = self.m_rev[rows]
         ne = (self.e_off[rows + 1] - self.e_off[rows]).astype(np.int64)
         t.e_off = np.zeros(M + 1, dtype=np.int64)
         np.cumsum(ne, out=t.e_off[1:])
-        E = int(t.e_off[-1])
-        erows = np.zeros(E, dtype=np.int64)
-        pos = 0
-        for k in range(M):
-            c = int(ne[k])
-            s = int(self.e_off[rows[k]])
-            erows[pos : pos + c] = np.arange(s, s + c)
-            pos += c
+        erows = self._ranges(self.e_off[rows], ne)
         t.e_from = self.e_from[erows]
         t.e_to = self.e_to[erows]
         sl = (self.e_soff[erows + 1] - self.e_soff[erows]).astype(np.int64)
+        E = len(erows)
         t.e_soff = np.zeros(E + 1, dtype=np.int64)
         np.cumsum(sl, out=t.e_soff[1:])
-        eb = bytearray()
-        for k in range(E):
-            s = int(self.e_soff[erows[k]])
-            eb += self.eseq[s : s + int(sl[k])]
-        t.eseq = bytes(eb)
+        spos = self._ranges(self.e_soff[erows], sl)
+        t.eseq = (
+            np.frombuffer(self.eseq, dtype=np.uint8)[spos].tobytes()
+            if len(spos)
+            else b""
+        )
         return t
 
     def first_positions(self):
