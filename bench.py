@@ -206,12 +206,13 @@ def bench_haplocart_e2e(graph):
 
 
 def bench_mapping(mapper, reads):
-    """Mapper alone (seed + device SW + native batch finalize)."""
-    mapper.map_reads(reads[:128])  # warm
+    """Mapper alone (seed + device SW + native batch finalize), in the
+    columnar form the production pipeline consumes."""
+    mapper.map_reads_table(reads[:128])  # warm
     t0 = time.perf_counter()
-    out = mapper.map_reads(reads)
+    out = mapper.map_reads_table(reads)
     dt = time.perf_counter() - t0
-    mapped = sum(1 for a in out if a.identity != 0)
+    mapped = int((out.identity != 0).sum())
     return len(reads) / dt, mapped / len(reads)
 
 

@@ -157,3 +157,42 @@ def test_mcmc_handles_zero_likes():
     init = np.array([0.6, 0.4])
     res = run_mcmc(n, slog, init, n_iter=500, burnin=50, seed=0)
     assert np.isfinite(res.estimate).all()
+
+
+def test_score_table_matches_score(toy_graph, toy_reads):
+    """Columnar euka scorer (score_table) reproduces the object scorer
+    on real fixture alignments: every EukaResult field."""
+    import numpy as np
+
+    from vgan_tpu.mapper.batch_map import load_native, table_from_alignments
+    from vgan_tpu.pipelines import euka as ek
+
+    if load_native() is None:
+        pytest.skip("native lib unavailable")
+    # synthesize a 2-clade world over the toy graph's node range
+    clades = [
+        ek.CladeInfo(id=0, name="cladeA", dist=0.05, n_paths=3,
+                     start_node=2, end_node=15),
+        ek.CladeInfo(id=1, name="cladeB", dist=0.08, n_paths=2,
+                     start_node=16, end_node=29),
+    ]
+    chunks = [
+        [(2, 8, 1.5), (9, 15, 1.2), (2, 15, 0.5)],
+        [(16, 22, 1.4), (23, 29, 1.3), (16, 29, 0.4)],
+    ]
+    scorer = ek.EukaScorer(toy_graph, clades, chunks)
+    alns = [a for a in toy_reads if a.identity != 0]
+    want = scorer.score(alns, min_mq=0, min_frag=1, min_bins=1)
+    got = scorer.score_table(
+        table_from_alignments(alns), min_mq=0, min_frag=1, min_bins=1
+    )
+    np.testing.assert_array_equal(got.counts, want.counts)
+    np.testing.assert_array_equal(got.n_mapped, want.n_mapped)
+    np.testing.assert_array_equal(got.baseshift, want.baseshift)
+    assert got.detected == want.detected
+    for a, b in zip(got.coverage, want.coverage):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+    for a, b in zip(got.clade_like, want.clade_like):
+        np.testing.assert_allclose(a, b, rtol=1e-9)
+    assert got.insert_sizes == want.insert_sizes
+    assert got.frag_names == want.frag_names

@@ -264,19 +264,43 @@ def cmd_euka(args: List[str]) -> int:
         mapper = Mapper(graph, k=k, w=w, safari=safari)
         reads = fastx.read_fastq(fq1)
         r2 = fastx.read_fastq(fq2) if fq2 else []
+        from .mapper.batch_map import load_native
+
+        table = None
         with PROFILER.stage("map", items=len(reads) + len(r2)):
             if r2 and not interleaved and len(r2) == len(reads):
                 alignments = mapper.map_read_pairs(reads, r2)
             elif interleaved and not r2 and len(reads) % 2 == 0:
                 alignments = mapper.map_read_pairs(reads[0::2], reads[1::2])
+            elif load_native() is not None:
+                # columnar production path: no per-read objects
+                table = mapper.map_reads_table(reads + r2)
+                alignments = []
             else:
                 alignments = mapper.map_reads(reads + r2)
     scorer = ek.EukaScorer(graph, clades, chunks, damage=dm, length_to_prof=ltp)
-    with PROFILER.stage("score", items=len(alignments)):
-        res = scorer.score(
-            alignments, min_mq=min_mq, min_frag=min_frag, min_bins=min_bins,
-            max_bins=max_bins, entropy_threshold=entropy,
-        )
+    if table is None and alignments:
+        from .mapper.batch_map import load_native
+
+        if load_native() is not None:
+            from .mapper.batch_map import table_from_alignments
+
+            table = table_from_alignments(alignments)
+    with PROFILER.stage(
+        "score", items=(table.n if table is not None else len(alignments))
+    ):
+        if table is not None:
+            res = scorer.score_table(
+                table, min_mq=min_mq, min_frag=min_frag,
+                min_bins=min_bins, max_bins=max_bins,
+                entropy_threshold=entropy,
+            )
+        else:
+            res = scorer.score(
+                alignments, min_mq=min_mq, min_frag=min_frag,
+                min_bins=min_bins, max_bins=max_bins,
+                entropy_threshold=entropy,
+            )
     if out_group:
         names = [c.name for c in clades]
         if out_group not in names:

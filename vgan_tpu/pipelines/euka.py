@@ -370,6 +370,176 @@ class EukaScorer:
         return 0
 
     # ------------------------------------------------------------------
+    def score_table(
+        self,
+        table,
+        min_mq: int = 29,
+        min_frag: int = 10,
+        min_bins: int = 6,
+        max_bins: int = 0,
+        entropy_threshold: float = 1.17,
+    ) -> EukaResult:
+        """Columnar twin of score(): consumes the mapper's
+        AlignmentTable directly — C++ batch reconstruction, vectorized
+        [B, L] assembly, vectorized baseshift/accept/coverage — with
+        identical outputs (tests/test_euka.py parity)."""
+        from .hc_columnar import reconstruct_table
+
+        nC = len(self.clades)
+        t = table.select((table.identity != 0) & (table.nmap > 0))
+        coverage = [[0.0] * len(row) for row in self.chunks]
+        counts = np.zeros(nC, dtype=np.int64)
+        n_mapped_v = np.zeros(nC, dtype=np.int64)
+        clade_like: List[List[float]] = [[] for _ in range(nC)]
+        insert_sizes: List[List[int]] = [[] for _ in range(nC)]
+        frag_names: List[List[str]] = [[] for _ in range(nC)]
+        baseshift = np.zeros((nC, 2 * self.ltp, 16), dtype=np.int64)
+        if t.n == 0:
+            return EukaResult(
+                clades=self.clades, chunks=self.chunks, coverage=coverage,
+                counts=counts, n_mapped=n_mapped_v, clade_like=clade_like,
+                insert_sizes=insert_sizes, frag_names=frag_names,
+                baseshift=baseshift, detected=[],
+            )
+        B = t.n
+        g_cat, g_off, g_len, r_cat, r_off, r_len, _sz, _so, _sl = (
+            reconstruct_table(self.graph, t)
+        )
+        Lmax = max(8, -(-int(g_len.max()) // 32) * 32)
+        col = np.arange(Lmax, dtype=np.int64)
+        gpos = g_off[:-1][:, None] + col[None, :]
+        valid = col[None, :] < g_len[:, None]
+        np.clip(gpos, 0, max(len(g_cat) - 1, 0), out=gpos)
+        g = np.where(valid, g_cat[gpos], 0).astype(np.int32)
+        rpos = r_off[:-1][:, None] + col[None, :]
+        in_r = col[None, :] < r_len[:, None]
+        np.clip(rpos, 0, max(len(r_cat) - 1, 0), out=rpos)
+        r = np.where(valid & in_r, r_cat[rpos], 0).astype(np.int32)
+        # quality at the ALIGNED coordinate (reference quirk)
+        qlen = np.array([len(qb) for qb in t.quals], dtype=np.int64)
+        q_off2 = np.zeros(B + 1, dtype=np.int64)
+        np.cumsum(np.maximum(qlen, 1), out=q_off2[1:])
+        q_cat = np.zeros(int(q_off2[-1]), dtype=np.uint8)
+        for i, qb in enumerate(t.quals):
+            if qb:
+                q_cat[q_off2[i] : q_off2[i] + len(qb)] = np.frombuffer(
+                    qb, dtype=np.uint8
+                )
+        qpos = q_off2[:-1][:, None] + col[None, :]
+        in_q = col[None, :] < qlen[:, None]
+        np.clip(qpos, 0, max(len(q_cat) - 1, 0), out=qpos)
+        q = np.where(valid & in_q, q_cat[qpos], 0).astype(np.int32)
+        # damage position: non-gap read chars before each position;
+        # minus-strand reads count down (`src/readGAM_Euka.h:211-216`)
+        nongap = ((r != dna.GAP) & valid).astype(np.int64)
+        before = np.cumsum(nongap, axis=1) - nongap
+        first_m = t.map_off[:-1]
+        isrev = t.m_rev[np.minimum(first_m, len(t.m_rev) - 1)].astype(bool)
+        Lseq = np.array([len(s) for s in t.seqs], dtype=np.int64)
+        n_pos = np.where(
+            isrev[:, None], Lseq[:, None] - 1 - before, before
+        ).astype(np.int32)
+        L_read = np.clip(Lseq, 1, 1000).astype(np.int32)
+        first_node = t.m_node[np.minimum(first_m, len(t.m_node) - 1)]
+        ct = self._clade_table
+        c_n = np.where(
+            (first_node >= 0) & (first_node < len(ct)),
+            ct[np.clip(first_node, 0, len(ct) - 1)],
+            0,
+        ).astype(np.int64)
+        dist_tab = np.array([c.dist for c in self.clades], dtype=np.float64)
+        pair_dist = dist_tab[c_n]
+        il, nl = self._score_arrays(
+            jnp.asarray(g), jnp.asarray(r), jnp.asarray(q),
+            jnp.asarray(n_pos), jnp.asarray(L_read),
+            jnp.asarray(pair_dist), jnp.asarray(valid),
+        )
+        il, nl = np.asarray(il), np.asarray(nl)
+        guards.check_loglik(il, "euka model-1 log-likelihood")
+        guards.check_loglik(nl, "euka model-2 log-likelihood")
+
+        # --- vectorized per-read roll-ups (identical to score())
+        np.add.at(n_mapped_v, c_n, 1)
+        # baseshift counts at the first/last ltp ALIGNED positions
+        p = np.arange(2 * self.ltp)
+        pos = np.where(
+            p[None, :] < self.ltp,
+            p[None, :],
+            g_len[:, None] + (p[None, :] - 2 * self.ltp),
+        )
+        okp = (pos >= 0) & (pos < g_len[:, None]) & (pos < r_len[:, None])
+        posc = np.clip(pos, 0, Lmax - 1)
+        rows = np.arange(B)[:, None]
+        gb = g[rows, posc]
+        rb = r[rows, posc]
+        okp &= (gb < 4) & (rb < 4)
+        bi, pi = np.nonzero(okp)
+        np.add.at(
+            baseshift,
+            (c_n[bi], pi, gb[bi, pi] * 4 + rb[bi, pi]),
+            1,
+        )
+        incorrect = phred.incorrect_mapping_vec()
+        map_q = 1.0 - incorrect[np.minimum(t.mq, 99)]
+        denom = np.logaddexp(il, nl)
+        like = map_q * np.exp(il - denom)
+        accept = ((il - nl) > 1) & (t.mq > min_mq)
+        for i in range(B):
+            clade_like[c_n[i]].append(float(like[i]))
+        acc_idx = np.nonzero(accept)[0]
+        np.add.at(counts, c_n[acc_idx], 1)
+        for i in acc_idx:
+            insert_sizes[c_n[i]].append(int(Lseq[i]))
+            frag_names[c_n[i]].append(t.names[i])
+        # coverage: every matching bin gets 1/n_mappings per mapping
+        nmap_r = t.nmap.astype(np.int64)
+        if len(acc_idx):
+            # flat (read, mapping) pairs of accepted reads
+            pair_read = np.repeat(acc_idx, nmap_r[acc_idx])
+            starts = t.map_off[acc_idx]
+            from ..mapper.batch_map import AlignmentTable
+
+            mrows = AlignmentTable._ranges(starts, nmap_r[acc_idx])
+            nid = t.m_node[mrows]
+            w_frac = 1.0 / nmap_r[pair_read]
+            pc = c_n[pair_read]
+            for c in np.unique(pc):
+                sel = pc == c
+                ch = self.chunks[c]
+                if not ch:
+                    continue
+                lo = np.array([x[0] for x in ch], dtype=np.int64)
+                hi = np.array([x[1] for x in ch], dtype=np.int64)
+                hitmat = (nid[sel][:, None] >= lo[None, :]) & (
+                    nid[sel][:, None] <= hi[None, :]
+                )
+                contrib = (hitmat * w_frac[sel][:, None]).sum(axis=0)
+                for j in range(len(ch)):
+                    coverage[c][j] += float(contrib[j])
+
+        detected: List[int] = []
+        for i in range(nC):
+            qualified = [
+                int(coverage[i][k])
+                for k in range(len(self.chunks[i]) - 1)
+                if self.chunks[i][k][2] > entropy_threshold
+            ]
+            n_zero = sum(1 for v in qualified if v == 0)
+            if (
+                n_zero > max_bins
+                or len(qualified) < min_bins
+                or counts[i] < min_frag
+            ):
+                continue
+            detected.append(i)
+        return EukaResult(
+            clades=self.clades, chunks=self.chunks, coverage=coverage,
+            counts=counts, n_mapped=n_mapped_v, clade_like=clade_like,
+            insert_sizes=insert_sizes, frag_names=frag_names,
+            baseshift=baseshift, detected=detected,
+        )
+
+    # ------------------------------------------------------------------
     def _score_device(self, batch, recon):
         B = len(batch)
         Lmax = max(len(r[0]) for r in recon)
@@ -408,6 +578,9 @@ class EukaScorer:
             pair_dist[b] = self.clades[c_n].dist
             valid[b, :L] = True
 
+        return self._score_arrays(g, r, q, n_pos, L_read, pair_dist, valid)
+
+    def _score_arrays(self, g, r, q, n_pos, L_read, pair_dist, valid):
         from ..parallel.mesh import auto_mesh
 
         mesh = auto_mesh()
