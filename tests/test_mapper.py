@@ -364,3 +364,44 @@ def test_safari_rescues_deaminated_reads():
     clean_plain = sum(a.identity != 0 for a in plain.map_reads(reads))
     clean_saf = sum(a.identity != 0 for a in saf.map_reads(reads))
     assert clean_saf >= clean_plain
+
+
+def test_paired_fast_path_parity(mt_world):
+    """Vectorized paired mapping == the object implementation: same
+    placements, scores, MQ, flags — including rescued mates."""
+    from vgan_tpu.mapper import batch_map
+
+    if batch_map.load_native() is None:
+        pytest.skip("native lib unavailable")
+    graph, mapper = mt_world
+    p1, p2, _ = _make_pairs(graph, 10, seed=21)
+    # corrupt a couple of mates to exercise rescue
+    from vgan_tpu.io.fastx import Read
+
+    def corrupt(r):
+        s = list(r.seq)
+        for pos in range(7, len(s), 15):
+            s[pos] = {"A": "C", "C": "A", "G": "T", "T": "G"}[s[pos]]
+        return Read(name=r.name, seq="".join(s), qual=r.qual)
+
+    p2 = [corrupt(r) if i % 4 == 0 else r for i, r in enumerate(p2)]
+    new = mapper.map_read_pairs(p1, p2)
+    old = mapper._map_read_pairs_obj(p1, p2)
+
+    def key(a):
+        return (
+            a.score, a.mapping_quality, round(a.identity, 12),
+            a.read_paired,
+            [
+                (m.position.node_id, m.position.offset,
+                 m.position.is_reverse,
+                 [(e.from_length, e.to_length, e.sequence)
+                  for e in m.edits])
+                for m in a.path.mappings
+            ],
+        )
+
+    assert len(new) == len(old)
+    for a, b in zip(old, new):
+        assert (a.identity != 0) == (b.identity != 0), a.name
+        assert key(a) == key(b), a.name

@@ -269,6 +269,7 @@ int64_t map_finalize_batch(
     const uint8_t* w_has, const float* w_score, const float* w_second,
     const uint8_t* w_has2, const int32_t* w_path, const uint8_t* w_strand,
     const int64_t* w_lo, const int64_t* w_wlen, const int32_t* w_win,
+    const int32_t* w_mq_ovr,  // >=0: fixed MQ (paired-end pair-level MQ)
     // haplotype path linearizations + steps (pooled; indexed by path id)
     const uint8_t* pc_buf, const int64_t* pc_beg,
     const int32_t* ps_node, const uint8_t* ps_rev, const int64_t* ps_start,
@@ -343,6 +344,7 @@ int64_t map_finalize_batch(
     const double second = (double)w_second[i];
     const bool has2 = w_has2[i] != 0;
     const int32_t path = w_path[i];
+    const int32_t mq_ovr = w_mq_ovr[i];
 
     // perfect full-length fast path
     if (score == (double)(L + 2 * BONUS)) {
@@ -353,9 +355,9 @@ int64_t map_finalize_batch(
         project_path_interval(path, w_lo[i] + off, L, strand, ps_node,
                               ps_rev, ps_start, st_beg, st_cnt, node_len,
                               min_id, maps);
-        if (!emit(i, (int32_t)score, 1.0, mq_of(score, second, has2),
-                  maps))
-          return -(i + 1);
+        int32_t mq =
+            mq_ovr >= 0 ? mq_ovr : mq_of(score, second, has2);
+        if (!emit(i, (int32_t)score, 1.0, mq, maps)) return -(i + 1);
         continue;
       }
       if (w_win[i] < 0) {
@@ -385,9 +387,8 @@ int64_t map_finalize_batch(
                  wh_rev + wh_beg[w], min_id, maps);
     if (strand) flip_maps(maps, node_len, min_id);
     double identity = wl > 0 ? (double)meta[3] / (double)wl : 0.0;
-    if (!emit(i, (int32_t)eff, identity,
-              mq_of((double)eff, second, has2), maps))
-      return -(i + 1);
+    int32_t mq = mq_ovr >= 0 ? mq_ovr : mq_of((double)eff, second, has2);
+    if (!emit(i, (int32_t)eff, identity, mq, maps)) return -(i + 1);
   }
   out_counts[0] = mi;
   out_counts[1] = ei;

@@ -89,7 +89,7 @@ def load_native():
         lib.map_finalize_batch.restype = ctypes.c_int64
         lib.map_finalize_batch.argtypes = [
             u8p, i64p, ctypes.c_int64,                       # reads
-            u8p, f32p, f32p, u8p, i32p, u8p, i64p, i64p, i32p,  # winners
+            u8p, f32p, f32p, u8p, i32p, u8p, i64p, i64p, i32p, i32p,  # winners (+mq override)
             u8p, i64p,                                       # path codes
             i32p, u8p, i64p, i64p, i64p,                     # path steps
             i64p, ctypes.c_int64,                            # node_len, min_id
@@ -220,7 +220,7 @@ class BatchResult:
     __slots__ = (
         "read_codes", "read_lens", "cand_read", "cand_path", "cand_strand",
         "cand_lo", "cand_wlen", "scores", "w_has", "w_cand", "w_second",
-        "w_has2",
+        "w_has2", "topk_rows", "topk_scores", "top2_score", "top2_has",
     )
 
 
@@ -379,6 +379,24 @@ def gather_and_score(mapper, reads, max_candidates: int = 8,
     out.w_cand[rr] = win_rows
     out.w_second[rr] = second
     out.w_has2[rr] = has2
+    # top-K candidates per read (paired-end joint selection) + the
+    # best/second CONTENT-level scores (the paired path's MQ inputs)
+    K = 4
+    rank_in = np.arange(m) - np.repeat(first_idx, np.diff(
+        np.append(first_idx, m)
+    ))
+    out.topk_rows = np.full((n_reads, K), -1, dtype=np.int64)
+    out.topk_scores = np.full((n_reads, K), -1e30, dtype=np.float32)
+    sel_k = rank_in < K
+    out.topk_rows[rw[sel_k], rank_in[sel_k]] = ordw[sel_k]
+    out.topk_scores[rw[sel_k], rank_in[sel_k]] = scores[ordw[sel_k]]
+    out.top2_score = np.full(n_reads, -1e30, dtype=np.float32)
+    out.top2_has = np.zeros(n_reads, dtype=bool)
+    nxt = first_idx + 1
+    ok2c = (nxt < m) & (np.append(rw[1:], -1)[first_idx] == rw[first_idx])
+    rr2 = rw[first_idx][ok2c]
+    out.top2_has[rr2] = True
+    out.top2_score[rr2] = scores[ordw[np.minimum(nxt, m - 1)]][ok2c]
     return out
 
 
@@ -412,9 +430,17 @@ def _empty_table(reads) -> "AlignmentTable":
     return t
 
 
-def finalize_table(mapper, reads, br: Optional[BatchResult]
+def finalize_table(mapper, reads, br: Optional[BatchResult],
+                   sel_override: Optional[np.ndarray] = None,
+                   mq_override: Optional[np.ndarray] = None,
+                   second_override: Optional[np.ndarray] = None,
                    ) -> "AlignmentTable":
-    """Run the native batch finalize; columnar output."""
+    """Run the native batch finalize; columnar output.
+
+    sel_override[i]: candidate row to finalize for read i (-1 =
+    unmapped) instead of br.w_cand — the paired-end joint selection.
+    mq_override[i] >= 0 fixes the read's MQ (pair-level MQ).
+    second_override[i]: runner-up score for the MQ gap (NaN = none)."""
     lib = load_native()
     assert lib is not None
     n_reads = len(reads)
@@ -425,14 +451,18 @@ def finalize_table(mapper, reads, br: Optional[BatchResult]
         return _empty_table(reads)
 
     # per-read winner tables
-    w_has = br.w_has.copy()
+    if sel_override is not None:
+        sel = np.asarray(sel_override, dtype=np.int64)
+        w_has = (sel >= 0).astype(np.uint8)
+    else:
+        sel = br.w_cand
+        w_has = br.w_has.copy()
     w_score = np.zeros(n_reads, dtype=np.float32)
     w_path = np.zeros(n_reads, dtype=np.int32)
     w_strand = np.zeros(n_reads, dtype=np.uint8)
     w_lo = np.zeros(n_reads, dtype=np.int64)
     w_wlen = np.zeros(n_reads, dtype=np.int64)
     w_win = np.full(n_reads, -1, dtype=np.int32)
-    sel = br.w_cand
     hasw = w_has == 1
     rows = sel[hasw]
     w_score[hasw] = br.scores[rows]
@@ -440,6 +470,19 @@ def finalize_table(mapper, reads, br: Optional[BatchResult]
     w_strand[hasw] = br.cand_strand[rows]
     w_lo[hasw] = br.cand_lo[rows]
     w_wlen[hasw] = br.cand_wlen[rows]
+    if second_override is not None:
+        w_second = np.where(
+            np.isnan(second_override), -1e30, second_override
+        ).astype(np.float32)
+        w_has2 = (~np.isnan(second_override)).astype(np.uint8)
+    else:
+        w_second = br.w_second
+        w_has2 = br.w_has2
+    mq_ovr = (
+        np.asarray(mq_override, dtype=np.int32)
+        if mq_override is not None
+        else np.full(n_reads, -1, dtype=np.int32)
+    )
 
     # graph windows for non-perfect winners (bucket-cached)
     perfect = np.zeros(n_reads, dtype=bool)
@@ -539,9 +582,9 @@ def finalize_table(mapper, reads, br: Optional[BatchResult]
     )
     rc = lib.map_finalize_batch(
         _p(read_buf, u8), _p(read_off, i64), n_reads,
-        _p(w_has, u8), _p(w_score, f32), _p(br.w_second, f32),
-        _p(br.w_has2, u8), _p(w_path, i32), _p(w_strand, u8),
-        _p(w_lo, i64), _p(w_wlen, i64), _p(w_win, i32),
+        _p(w_has, u8), _p(w_score, f32), _p(w_second, f32),
+        _p(w_has2, u8), _p(w_path, i32), _p(w_strand, u8),
+        _p(w_lo, i64), _p(w_wlen, i64), _p(w_win, i32), _p(mq_ovr, i32),
         _p(pools.pc_buf, u8), _p(pools.pc_beg, i64),
         _p(pools.ps_node, i32), _p(pools.ps_rev, u8),
         _p(pools.ps_start, i64), _p(pools.st_beg, i64),
@@ -572,7 +615,7 @@ def finalize_table(mapper, reads, br: Optional[BatchResult]
         from .giraffe import Candidate
 
         for i in retry:
-            row = int(br.w_cand[i])
+            row = int(sel[i])
             cand = Candidate(
                 path=int(br.cand_path[row]),
                 strand=bool(br.cand_strand[row]),
@@ -587,10 +630,11 @@ def finalize_table(mapper, reads, br: Optional[BatchResult]
                 ],
                 int(br.cand_lo[row]),
             )
-            second = float(br.w_second[i]) if br.w_has2[i] else None
+            second = float(w_second[i]) if w_has2[i] else None
             out[i] = mapper._finalize(
                 reads[i], br.read_codes[i], cand_rec,
                 float(br.scores[row]), second,
+                mq_override=(int(mq_ovr[i]) if mq_ovr[i] >= 0 else None),
             )
         return table_from_alignments(out)
 

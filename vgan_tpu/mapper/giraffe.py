@@ -591,6 +591,148 @@ class BatchedMapper(Mapper):
         pair_bonus: float = 6.0,
         rescue_min_score: Optional[float] = None,
     ) -> List[gam.Alignment]:
+        """Fragment-aware paired mapping (see _map_read_pairs_obj for
+        the semantics). Production path: vectorized joint selection
+        over the top-4 candidates of each mate + one native batch
+        finalize; the object path is kept as the oracle (parity
+        test-asserted) and the no-native fallback."""
+        from . import batch_map
+
+        if batch_map.load_native() is None:
+            return self._map_read_pairs_obj(
+                reads1, reads2, max_candidates, pad, max_fragment,
+                pair_bonus, rescue_min_score,
+            )
+        assert len(reads1) == len(reads2)
+        n = len(reads1)
+        reads = list(reads1) + list(reads2)
+        br = batch_map.gather_and_score(self, reads, max_candidates, pad)
+        if br is None:
+            out = [
+                gam.Alignment(sequence=r.seq, name=r.name,
+                              quality=bytes(r.qual or b""),
+                              read_paired=True)
+                for r in reads
+            ]
+            return [out[i // 2 + (i % 2) * n] for i in range(2 * n)]
+
+        K = br.topk_rows.shape[1]
+        r1 = np.arange(n)
+        t1, t2 = br.topk_rows[r1], br.topk_rows[r1 + n]  # [n, K]
+        s1 = br.topk_scores[r1].astype(np.float64)
+        s2 = br.topk_scores[r1 + n].astype(np.float64)
+        v1, v2 = t1 >= 0, t2 >= 0
+        c1s = np.clip(t1, 0, None)
+        c2s = np.clip(t2, 0, None)
+        p1 = np.where(v1, br.cand_path[c1s], -1)
+        p2 = np.where(v2, br.cand_path[c2s], -2)
+        st1 = np.where(v1, br.cand_strand[c1s], 0)
+        st2 = np.where(v2, br.cand_strand[c2s], 0)
+        lo1 = np.where(v1, br.cand_lo[c1s], 0)
+        lo2 = np.where(v2, br.cand_lo[c2s], 0)
+        consistent = (
+            (p1[:, :, None] == p2[:, None, :])
+            & (st1[:, :, None] != st2[:, None, :])
+            & (np.abs(lo1[:, :, None] - lo2[:, None, :]) <= max_fragment)
+        )
+        joint = (
+            s1[:, :, None] + s2[:, None, :]
+            + np.where(consistent, pair_bonus, 0.0)
+        )
+        joint = np.where(
+            v1[:, :, None] & v2[:, None, :], joint, -np.inf
+        )
+        flat = joint.reshape(n, K * K)
+        best = np.argmax(flat, axis=1)  # first max = old loop order
+        i1, i2 = best // K, best % K
+        cons = consistent[np.arange(n), i1, i2]
+        c1 = t1[np.arange(n), i1]
+        c2 = t2[np.arange(n), i2]
+        cs1 = s1[np.arange(n), i1]
+        cs2 = s2[np.arange(n), i2]
+
+        # pair-level MQ: gap vs the mate's best OTHER candidate
+        def pair_mq(reads_idx, chosen, s_this):
+            top_row = br.topk_rows[reads_idx, 0]
+            top_s = br.topk_scores[reads_idx, 0].astype(np.float64)
+            alt = np.where(
+                chosen == top_row, br.top2_score[reads_idx], top_s
+            ).astype(np.float64)
+            has_alt = np.where(
+                chosen == top_row, br.top2_has[reads_idx], True
+            )
+            gap = s_this - alt + np.where(cons, 6.0, 0.0)
+            mq = np.clip(np.round(6.23 * gap), 0, 60).astype(np.int32)
+            return np.where(has_alt, mq, 60).astype(np.int32)
+
+        both = v1[:, 0] & v2[:, 0]
+        only1 = v1[:, 0] & ~v2[:, 0]
+        only2 = v2[:, 0] & ~v1[:, 0]
+
+        sel = np.full(2 * n, -1, dtype=np.int64)
+        mq_ovr = np.full(2 * n, -1, dtype=np.int32)
+        second_ovr = np.full(2 * n, np.nan, dtype=np.float64)
+        mq1 = pair_mq(r1, c1, cs1)
+        mq2 = pair_mq(r1 + n, c2, cs2)
+        sel[:n][both] = c1[both]
+        sel[n:][both] = c2[both]
+        mq_ovr[:n][both] = mq1[both]
+        mq_ovr[n:][both] = mq2[both]
+        # single-sided: the mapped mate finalizes alone (content-level
+        # runner-up for MQ); the other is rescued below
+        for side, mask in ((0, only1), (1, only2)):
+            idx = np.nonzero(mask)[0] + side * n
+            sel[idx] = br.topk_rows[idx, 0]
+            second_ovr[idx] = np.where(
+                br.top2_has[idx], br.top2_score[idx], np.nan
+            )
+
+        table = batch_map.finalize_table(
+            self, reads, br, sel_override=sel, mq_override=mq_ovr,
+            second_override=second_ovr,
+        )
+        out = table.to_alignments()
+
+        # mate rescue for single-sided pairs (host, rare)
+        pools = self._pools.arrays()
+        for pi in np.nonzero(only1 | only2)[0]:
+            have = pi if only1[pi] else pi + n
+            miss = pi + n if only1[pi] else pi
+            row = int(sel[have])
+            cand = Candidate(
+                path=int(br.cand_path[row]),
+                strand=bool(br.cand_strand[row]),
+                diag_lo=0, diag_hi=0, n_seeds=0,
+            )
+            wc = pools.pc_buf[
+                pools.pc_beg[cand.path] + br.cand_lo[row] :
+                pools.pc_beg[cand.path] + br.cand_lo[row]
+                + br.cand_wlen[row]
+            ]
+            out[miss] = self._rescue_mate(
+                reads[miss], br.read_codes[miss],
+                (have, cand, wc, int(br.cand_lo[row])),
+                max_fragment, rescue_min_score,
+            )
+        result: List[gam.Alignment] = []
+        for k in range(n):
+            a1, a2 = out[k], out[k + n]
+            a1.read_paired = True
+            a2.read_paired = True
+            result.append(a1)
+            result.append(a2)
+        return result
+
+    def _map_read_pairs_obj(
+        self,
+        reads1,
+        reads2,
+        max_candidates: int = 8,
+        pad: int = 24,
+        max_fragment: int = 1000,
+        pair_bonus: float = 6.0,
+        rescue_min_score: Optional[float] = None,
+    ) -> List[gam.Alignment]:
         """Fragment-aware paired mapping (the giraffe behavior vgan
         relies on when invoked with two -f files,
         `src/map_giraffe.cpp:58-88`): mates are scored jointly — the
