@@ -205,6 +205,44 @@ def bench_haplocart_e2e(graph):
     return e2e_rps, host_rps, agree, mapper, reads
 
 
+def bench_euka_e2e(graph, mapper, reads):
+    """euka production path: map (columnar) -> two-model device scorer
+    -> detection, on the same world treated as a 2-taxon DB
+    (21 bins/taxon like the real DB, `src/Euka.cpp:602-608`)."""
+    import numpy as np
+
+    from vgan_tpu.pipelines import euka as ek
+
+    mid = graph.min_id + graph.n_nodes // 2
+
+    def bins(lo, hi):
+        bounds = np.linspace(lo, hi, 22).astype(int)
+        return [
+            (int(bounds[j]), int(bounds[j + 1]), 1.5) for j in range(21)
+        ] + [(lo, hi, 0.5)]
+
+    clades = [
+        ek.CladeInfo(id=0, name="taxA", dist=0.05, n_paths=16,
+                     start_node=graph.min_id, end_node=mid),
+        ek.CladeInfo(id=1, name="taxB", dist=0.05, n_paths=16,
+                     start_node=mid + 1, end_node=graph.max_id),
+    ]
+    chunks = [bins(graph.min_id, mid), bins(mid + 1, graph.max_id)]
+    scorer = ek.EukaScorer(graph, clades, chunks)
+
+    def run():
+        table = mapper.map_reads_table(reads)
+        return scorer.score_table(table, min_mq=0, min_frag=1, min_bins=1,
+                                  max_bins=21)
+
+    run()  # warm
+    t0 = time.perf_counter()
+    res = run()
+    dt = time.perf_counter() - t0
+    assert int(res.counts.sum()) > 0
+    return len(reads) / dt
+
+
 def bench_mapping(mapper, reads):
     """Mapper alone (seed + device SW + native batch finalize), in the
     columnar form the production pipeline consumes."""
@@ -298,6 +336,8 @@ def main():
     _note("e2e world")
     graph = _bench_world()
     e2e_rps, host_rps, e2e_agree, mapper, reads = bench_haplocart_e2e(graph)
+    _note("euka e2e")
+    euka_rps = bench_euka_e2e(graph, mapper, reads)
     _note("mapping")
     map_rps, map_rate = bench_mapping(mapper, reads)
 
@@ -313,6 +353,7 @@ def main():
         "haplocart_device_reads_per_s": round(dev_rps, 1),
         "device_vs_numpy": round(dev_rps / dev_cpu_rps, 2),
         "device_argmax_agrees": bool(dev_agree),
+        "euka_e2e_reads_per_s": round(euka_rps, 1),
         "euka_mcmc_iters_per_s": round(euka_ips, 1),
         "soibean_mcmc_iters_per_s": round(soibean_ips, 1),
         "sw_kernel_gcups": round(gcups, 2),
