@@ -247,3 +247,30 @@ def test_columnar_path_matches_object_path(tmp_path, ref):
     got = hc_columnar.score_table_device(db, table)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=0)
     assert int(np.argmax(got)) == int(np.argmax(want))
+
+
+def test_columnar_gam_input_matches_object(toy_db_dir, ref):
+    """GAM-input columnar chain (table_from_gam -> filter_sort_dedup ->
+    score_table_device) is bit-equal to the object chain on the fixture
+    GAM — which contains indel reads, exercising the reconstructed-
+    read-length quality-padding quirk."""
+    import numpy as np
+
+    from vgan_tpu.io import gam
+    from vgan_tpu.mapper.batch_map import load_native, table_from_gam
+    from vgan_tpu.pipelines import haplocart as hc
+    from vgan_tpu.pipelines import haplocart_device as hcd
+    from vgan_tpu.pipelines import hc_columnar
+    from vgan_tpu.pipelines.haplocart_runner import gamsort, load_db
+
+    if load_native() is None:
+        pytest.skip("native lib unavailable")
+    db = load_db(str(toy_db_dir))
+    gp = str(ref / "test/reconstructInputSeq/test_reads.gam")
+    alns = [a for a in gam.read_gam(gp) if a.identity != 0]
+    alns = hc.remove_duplicates(gamsort(alns))
+    want = hcd.score_alignments_device(db, alns)
+    t = hc_columnar.filter_sort_dedup(table_from_gam(gp))
+    assert t.names == [a.name for a in alns]
+    got = hc_columnar.score_table_device(db, t)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=0)

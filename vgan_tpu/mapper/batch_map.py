@@ -822,6 +822,37 @@ class AlignmentTable:
         return fn, fo, ln, lo
 
 
+def table_from_gam(path: str) -> Optional[AlignmentTable]:
+    """GAM file -> AlignmentTable straight from the native codec's
+    columnar decode (no per-read objects; None when the lib is
+    absent). The GAM-input twin of map_reads_table."""
+    from ..io.gam_native import read_gam_columns
+
+    cols = read_gam_columns(path)
+    if cols is None:
+        return None
+    t = AlignmentTable()
+    n = cols.n_reads
+    t.names = [cols.read_name(i) for i in range(n)]
+    t.seqs = [cols.read_seq(i) for i in range(n)]
+    t.quals = [cols.read_qual(i) for i in range(n)]
+    t.score = cols.score
+    t.identity = cols.identity
+    t.mq = cols.mapq
+    t.read_paired = cols.paired.astype(bool)
+    t.nmap = np.diff(cols.map_start).astype(np.int32)
+    t.map_off = cols.map_start
+    t.m_node = cols.node_id
+    t.m_off = cols.node_off
+    t.m_rev = cols.is_rev
+    t.e_off = cols.edit_start
+    t.e_from = cols.from_len
+    t.e_to = cols.to_len
+    t.e_soff = cols.eseq_off
+    t.eseq = cols.eseqs
+    return t
+
+
 def table_from_alignments(alignments) -> AlignmentTable:
     """Objects -> columnar table (GAM-input path + retry fallback)."""
     t = AlignmentTable()

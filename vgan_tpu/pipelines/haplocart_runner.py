@@ -181,10 +181,34 @@ def run_sample(
 ) -> Tuple[str, int, np.ndarray]:
     is_consensus = bool(fasta_seq) or bool(cfg.fasta)
     if cfg.gamfile:
-        with PROFILER.stage("read_gam"):
-            alignments = gam.read_gam(cfg.gamfile)
         from ..parallel import multihost as _mh
 
+        if not cfg.precise and not _mh.active():
+            from ..mapper.batch_map import table_from_gam
+
+            with PROFILER.stage("read_gam"):
+                table = table_from_gam(cfg.gamfile)
+            if table is not None:
+                # columnar GAM-input path (native codec -> table ->
+                # array stage chain -> device scorer)
+                from . import hc_columnar
+
+                table = hc_columnar.filter_sort_dedup(table)
+                if table.n == 0:
+                    raise RuntimeError(
+                        "[HaploCart] Error, no reads mapped"
+                    )
+                n_reads = table.n
+                with PROFILER.stage("score", items=n_reads):
+                    final_vec = hc_columnar.score_table_device(
+                        db, table,
+                        background_error_prob=cfg.background_error_prob,
+                        is_consensus_fasta=is_consensus,
+                    )
+                pred = hc.predict(db, final_vec)
+                return pred, n_reads, final_vec
+        with PROFILER.stage("read_gam"):
+            alignments = gam.read_gam(cfg.gamfile)
         if _mh.active():
             alignments = _mh.shard_reads(alignments)
     else:

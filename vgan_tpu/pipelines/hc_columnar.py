@@ -190,8 +190,10 @@ def hc_batch_from_table(db, t: AlignmentTable,
     r_rows = np.where(v & in_r, r_cat[rpos], 255).astype(np.int32)
 
     # qualities at aligned coordinates over the zero-padded quality
-    # array of conceptual length 2L+8
-    L_read = np.array([len(s) for s in t.seqs], dtype=np.int64)
+    # array of conceptual length 2L+8, where L is the RECONSTRUCTED
+    # read length (incl. '-' splices at deletions — the object path's
+    # len(read_seq), see batch_from_alignments)
+    L_read = r_len.astype(np.int64)
     qlen_pad = 2 * L_read + 8
     q_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(qlen_pad, out=q_off[1:])
