@@ -378,3 +378,38 @@ def test_build_db_from_gbz_identical(ref, tmp_path):
         return min((x, y), (rx, ry))
 
     assert {canon(*e) for e in ea} == {canon(*e) for e in eb}
+
+
+def test_gg_gbwt_pair_matches_gfa_twin(ref):
+    """The .gg (GBWTGraph node sequences) + .gbwt (simple-sds GBWT:
+    topology, haplotype paths, names) pair — the euka/soibean-era
+    giraffe index family (`src/map_giraffe_Euka.cpp:16-101`) — loads
+    into the exact GFA-twin graph."""
+    import numpy as np
+
+    from vgan_tpu.graph.packed import PackedGraph
+    from vgan_tpu.io.gbz import load_packed_graph_gg
+
+    g1 = load_packed_graph_gg(
+        str(ref / "test/input_files/target.gg"),
+        str(ref / "test/input_files/target.gbwt"),
+    )
+    g2 = PackedGraph.from_gfa(
+        str(ref / "test/reconstructInputSeq/target_graph.gfa")
+    )
+    assert g1.min_id == g2.min_id and g1.n_nodes == g2.n_nodes
+    np.testing.assert_array_equal(g1.node_seq_pool, g2.node_seq_pool)
+    assert g1.path_names == g2.path_names
+    for a, b in zip(g1.path_steps_node, g2.path_steps_node):
+        np.testing.assert_array_equal(a, b)
+
+    def canon(g):
+        out = set()
+        for f, fr, t, tr in zip(g.edge_from, g.edge_from_rev,
+                                g.edge_to, g.edge_to_rev):
+            a, b = (int(f), bool(fr)), (int(t), bool(tr))
+            ra, rb = (b[0], not b[1]), (a[0], not a[1])
+            out.add(min((a, b), (ra, rb)))
+        return out
+
+    assert canon(g1) == canon(g2)

@@ -689,6 +689,10 @@ def _load_one_graph(path: str):
         from .io.gbz import load_packed_graph
 
         return load_packed_graph(path)
+    if path.endswith(".gg"):
+        from .io.gbz import load_packed_graph_gg
+
+        return load_packed_graph_gg(path)
     return PackedGraph.from_gfa(path)
 
 

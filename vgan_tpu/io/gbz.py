@@ -271,19 +271,52 @@ class GBZ:
         )
 
 
-def read_gbz(path: str) -> GBZ:
-    data = open(path, "rb").read()
-    r = _Reader(data)
-    hdr = r.u64()
-    if hdr & 0xFFFFFFFF != GBZ_TAG:
-        raise ValueError(f"{path}: not a GBZ file")
-    r.u64()  # flags
-    _string_array(r)  # GBZ tags
+class _GBWTIndex:
+    """Parsed GBWT: record access + path extraction + edge set."""
 
-    # ---- GBWT
-    h = r.u64()
-    if h & 0xFFFFFFFF != GBWT_TAG:
-        raise ValueError("GBWT section tag mismatch")
+    def __init__(self, sequences, offset, alphabet_size, record_of,
+                 n_records, path_names):
+        self.sequences = sequences
+        self.offset = offset
+        self.alphabet_size = alphabet_size
+        self.record_of = record_of
+        self.n_records = n_records
+        self.path_names = path_names
+
+    def extract_paths(self) -> List[Tuple[str, List[Tuple[int, bool]]]]:
+        n_fwd = self.sequences // 2
+        paths = []
+        for p in range(n_fwd):
+            gnode, pos = self.record_of(0).lf(2 * p)
+            steps: List[Tuple[int, bool]] = []
+            while gnode != 0:
+                steps.append((gnode >> 1, bool(gnode & 1)))
+                gnode, pos = self.record_of(gnode).lf(pos)
+            name = (
+                self.path_names[p]
+                if p < len(self.path_names)
+                else f"path_{p}"
+            )
+            paths.append((name, steps))
+        return paths
+
+    def edge_list(self) -> List[Tuple[int, bool, int, bool]]:
+        edge_set = set()
+        for idx in range(1, self.n_records):
+            gnode = self.offset + idx
+            for succ, _off in self.record_of(gnode).edges:
+                if succ == 0:
+                    continue
+                a = (gnode >> 1, bool(gnode & 1))
+                b = (succ >> 1, bool(succ & 1))
+                ra = (b[0], not b[1])
+                rb = (a[0], not a[1])
+                edge_set.add(min((a, b), (ra, rb)))
+        return [(a[0], a[1], b[0], b[1]) for a, b in sorted(edge_set)]
+
+
+def _parse_gbwt_body(r: _Reader) -> _GBWTIndex:
+    """GBWT serialization after the tag|version word."""
     sequences = r.u64()
     r.u64()  # total size
     offset = r.u64()
@@ -351,6 +384,40 @@ def read_gbz(path: str) -> GBZ:
                 name = f"{sn}#{ph}#{cn}" if ph else f"{sn}#{cn}"
                 path_names_meta.append(name)
         r.p = meta_end
+    return _GBWTIndex(sequences, offset, alphabet_size, record_of,
+                      n_records, path_names_meta)
+
+
+def read_gbwt(path: str) -> _GBWTIndex:
+    """Standalone .gbwt file (simple-sds flavor — the serialization of
+    the bundled fixtures and of vg's gbwt builds with simple-sds on)."""
+    data = open(path, "rb").read()
+    r = _Reader(data)
+    h = r.u64()
+    if h & 0xFFFFFFFF != GBWT_TAG:
+        raise ValueError(f"{path}: not a (simple-sds) GBWT file")
+    return _parse_gbwt_body(r)
+
+
+def read_gbz(path: str) -> GBZ:
+    data = open(path, "rb").read()
+    r = _Reader(data)
+    hdr = r.u64()
+    if hdr & 0xFFFFFFFF != GBZ_TAG:
+        raise ValueError(f"{path}: not a GBZ file")
+    r.u64()  # flags
+    _string_array(r)  # GBZ tags
+
+    # ---- GBWT
+    h = r.u64()
+    if h & 0xFFFFFFFF != GBWT_TAG:
+        raise ValueError("GBWT section tag mismatch")
+    gbwt = _parse_gbwt_body(r)
+    sequences = gbwt.sequences
+    offset = gbwt.offset
+    record_of = gbwt.record_of
+    n_records = gbwt.n_records
+    path_names_meta = gbwt.path_names
 
     # ---- GraphZ
     gh = r.u64()
@@ -407,3 +474,60 @@ def read_gbz(path: str) -> GBZ:
 def load_packed_graph(path: str):
     """GBZ file -> PackedGraph (build-db / load_db entry point)."""
     return read_gbz(path).to_packed_graph(meta={"source": "gbz"})
+
+
+# ------------------------------------------------------------------- .gg
+GG_MAGIC = b"GBG "
+
+
+def read_gg_seqs(path: str) -> List[str]:
+    """GBWTGraph .gg (sdsl flavor): 4-byte magic, header {tag u32
+    0x6B3764AF, version u32, nodes u64, flags u64}, a StringArray of
+    2*nodes oriented sequences ({total_chars u64, chars, offsets:
+    sdsl::int_vector {size_bits u64, width u8, packed data}}).
+    Returns the FORWARD sequence per node in id order (layout verified
+    byte-exact on target.gg vs the GFA twin)."""
+    import struct
+
+    data = open(path, "rb").read()
+    if data[:4] != GG_MAGIC:
+        raise ValueError(f"{path}: not a .gg (GBWTGraph) file")
+    tag, version = struct.unpack_from("<II", data, 4)
+    if tag != GRAPH_TAG:
+        raise ValueError(f"{path}: GBWTGraph tag mismatch")
+    n_nodes = struct.unpack_from("<Q", data, 12)[0]
+    # flags u64 at 20, chars length u64 at 28
+    n_chars = struct.unpack_from("<Q", data, 28)[0]
+    chars = data[36 : 36 + n_chars]
+    p = 36 + n_chars
+    size_bits = struct.unpack_from("<Q", data, p)[0]
+    width = data[p + 8]
+    raw = np.frombuffer(data, dtype=np.uint8, offset=p + 9)
+    bits = np.unpackbits(raw, bitorder="little")[:size_bits]
+    n = size_bits // width
+    offs = (
+        bits.reshape(n, width).astype(np.int64)
+        << np.arange(width, dtype=np.int64)
+    ).sum(axis=1)
+    if n != 2 * n_nodes + 1:
+        raise ValueError(f"{path}: offset count mismatch")
+    return [
+        chars[int(offs[2 * i]) : int(offs[2 * i + 1])].decode()
+        for i in range(n_nodes)
+    ]
+
+
+def load_packed_graph_gg(gg_path: str, gbwt_path: Optional[str] = None):
+    """<prefix>.gg + <prefix>.gbwt -> PackedGraph (the euka/soibean-era
+    giraffe index pair, `src/map_giraffe_Euka.cpp:16-101`): node
+    sequences from the .gg, topology + haplotype paths + names from the
+    GBWT's records and metadata."""
+    if gbwt_path is None:
+        gbwt_path = gg_path[: -len(".gg")] + ".gbwt"
+    seqs = read_gg_seqs(gg_path)
+    gbwt = read_gbwt(gbwt_path)
+    first_node_id = (gbwt.offset + 1 + 1) // 2
+    node_seqs = {first_node_id + i: s for i, s in enumerate(seqs)}
+    return GBZ(
+        node_seqs, gbwt.edge_list(), gbwt.extract_paths()
+    ).to_packed_graph(meta={"source": "gg+gbwt"})
