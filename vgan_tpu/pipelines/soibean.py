@@ -102,13 +102,35 @@ def analyse_reads(
             "Node Base\tRead Sequence\tIndex on read\n"
         )
 
+    # batch reconstruction via the native lib when available (the
+    # per-read python reconstruct is the precompute's hot spot)
+    recon = None
+    try:
+        from ..mapper.batch_map import load_native, table_from_alignments
+
+        if load_native() is not None and R:
+            from .hc_columnar import reconstruct_table
+
+            recon = reconstruct_table(graph, table_from_alignments(reads))
+    except OSError:  # pragma: no cover
+        recon = None
+
     for ridx, a in enumerate(reads):
         names.append(a.name)
-        graph_seq, read_seq, mppg_sizes = reconstruct_graph_sequence(
-            graph, a.path, a.sequence
-        )
-        g_all = dna.encode(graph_seq)
-        r_all = dna.encode(read_seq)
+        if recon is not None:
+            g_cat, g_off, g_len, r_cat, r_off, r_len, szs, s_off, s_len = (
+                recon
+            )
+            g_all = g_cat[g_off[ridx] : g_off[ridx] + g_len[ridx]]
+            r_all = r_cat[r_off[ridx] : r_off[ridx] + r_len[ridx]]
+            mppg_sizes = szs[s_off[ridx] : s_off[ridx] + s_len[ridx]]
+            graph_seq = read_seq = None  # decoded lazily (detail only)
+        else:
+            graph_seq, read_seq, mppg_sizes = reconstruct_graph_sequence(
+                graph, a.path, a.sequence
+            )
+            g_all = dna.encode(graph_seq)
+            r_all = dna.encode(read_seq)
         isrev = a.path.mappings[0].position.is_reverse
         qual = np.frombuffer(a.quality, dtype=np.uint8)
         baseIX = len(a.sequence) - 1 if isrev else 0
@@ -137,6 +159,9 @@ def analyse_reads(
             L = len(g)
 
             if detail is not None and i < n_map:
+                if graph_seq is None:
+                    graph_seq = dna.decode(g_all)
+                    read_seq = dna.decode(r_all)
                 n_probpaths = int(sup_rows[i].sum())
                 if path_thres <= 0 or n_probpaths <= path_thres:
                     gs = graph_seq[start : start + size]
