@@ -182,6 +182,82 @@ def test_fast_batch_parity():
         assert key(a) == key(b), a.name
 
 
+def test_chunked_table_parity():
+    """Double-buffered chunked map_reads_table == one-shot (per-read
+    results are independent; chunking must not change anything)."""
+    from vgan_tpu.graph.synth import build_haplotype_graph, sample_reads
+    from vgan_tpu.io.fastx import read_fasta
+    from vgan_tpu.mapper import batch_map
+    from vgan_tpu.mapper.giraffe import BatchedMapper
+
+    if batch_map.load_native() is None:
+        pytest.skip("native lib unavailable")
+    seqs, _ = read_fasta("/root/reference/test/input_files/rCRS.fa")
+    graph, _ = build_haplotype_graph(
+        seqs[0][:6000], n_haplotypes=8, n_variants=40, seed=3
+    )
+    mapper = BatchedMapper(graph, k=20, w=10)
+    reads = sample_reads(graph, 2, n_reads=300, seed=4)
+    one = mapper.map_reads_table(reads, chunk=10**9)
+    chunked = mapper.map_reads_table(reads, chunk=64)
+    assert one.names == chunked.names
+    np.testing.assert_array_equal(one.score, chunked.score)
+    np.testing.assert_array_equal(one.mq, chunked.mq)
+    np.testing.assert_array_equal(one.identity, chunked.identity)
+    np.testing.assert_array_equal(one.nmap, chunked.nmap)
+    np.testing.assert_array_equal(one.map_off, chunked.map_off)
+    np.testing.assert_array_equal(one.m_node, chunked.m_node)
+    np.testing.assert_array_equal(one.m_off, chunked.m_off)
+    np.testing.assert_array_equal(one.m_rev, chunked.m_rev)
+    np.testing.assert_array_equal(one.e_off, chunked.e_off)
+    np.testing.assert_array_equal(one.e_from, chunked.e_from)
+    np.testing.assert_array_equal(one.e_to, chunked.e_to)
+    np.testing.assert_array_equal(one.e_soff, chunked.e_soff)
+    assert one.eseq == chunked.eseq
+
+
+def test_native_seed_hits_parity():
+    """The C++ batch seeding (cpp/seedhits.cpp) reproduces the numpy
+    join (_batch_hits) hit-for-hit — same (read, path, strand, diag)
+    multisets — on an mtDNA-scale world incl. N bases and an RYmer
+    index."""
+    from vgan_tpu.graph.synth import build_haplotype_graph, sample_reads
+    from vgan_tpu.io.fastx import read_fasta
+    from vgan_tpu.mapper import batch_map
+    from vgan_tpu.mapper.giraffe import (
+        BatchedMapper, _batch_hits, _batch_hits_native,
+    )
+    from vgan_tpu.mapper.index import MinimizerIndex
+
+    if batch_map.load_native() is None:
+        pytest.skip("native lib unavailable")
+    seqs, _ = read_fasta("/root/reference/test/input_files/rCRS.fa")
+    graph, _ = build_haplotype_graph(
+        seqs[0][:6000], n_haplotypes=8, n_variants=40, seed=3
+    )
+    mapper = BatchedMapper(graph, k=20, w=10)
+    reads = sample_reads(graph, 2, n_reads=200, seed=1)
+    codes = [dna.encode(r.seq) for r in reads]
+    codes[3] = codes[3].copy()
+    codes[3][10:14] = 4  # N run: windows spanning it must drop
+    codes[7] = codes[7][:15]  # shorter than k: no k-mers
+    lens = np.array([len(c) for c in codes], dtype=np.int64)
+    off = np.zeros(len(codes) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    buf = np.ascontiguousarray(np.concatenate(codes))
+
+    for index in (mapper.index,
+                  MinimizerIndex.build(graph, k=20, w=10, ry=True,
+                                       max_occ=64)):
+        want = _batch_hits(index, codes, lens)
+        got = _batch_hits_native(index, buf, off)
+        assert got is not None
+        w = np.lexsort(want[::-1])
+        g = np.lexsort(got[::-1])
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(a[w], b[g])
+
+
 def test_native_graph_aligner_parity(toy_graph, ref):
     """Native C++ graph aligner produces identical walks to the python
     reference on the fixture reads."""

@@ -20,6 +20,7 @@
 #include <cstring>
 #include <cmath>
 #include <string>
+#include <thread>
 #include <vector>
 #include <algorithm>
 
@@ -290,10 +291,6 @@ int64_t map_finalize_batch(
     int64_t edit_cap, char* out_eseq, int64_t eseq_cap,
     int64_t* out_counts /* [3] mappings, edits, eseq bytes */) {
   int64_t mi = 0, ei = 0, si = 0;
-  std::vector<uint8_t> qbuf;
-  std::vector<int32_t> ops, cols;
-  std::vector<MapRec> maps;
-  int64_t meta[5];
 
   auto emit = [&](int64_t i, int32_t score, double identity, int32_t mq,
                   std::vector<MapRec>& ms) -> bool {
@@ -322,73 +319,110 @@ int64_t map_finalize_batch(
     return true;
   };
 
-  for (int64_t i = 0; i < n_reads; ++i) {
-    out_score[i] = 0;
-    out_identity[i] = 0.0f;
-    out_mq[i] = 0;
-    out_nmap[i] = 0;
-    if (!w_has[i]) continue;
-    const int64_t L = read_off[i + 1] - read_off[i];
-    const uint8_t* fwd = read_buf + read_off[i];
-    const bool strand = w_strand[i] != 0;
-    // oriented query
-    qbuf.resize(L);
-    if (strand) {
-      for (int64_t k = 0; k < L; ++k)
-        qbuf[k] = COMP_CODE[fwd[L - 1 - k] & 7];
-    } else {
-      std::memcpy(qbuf.data(), fwd, L);
-    }
-    const uint8_t* q = qbuf.data();
-    const double score = (double)w_score[i];
-    const double second = (double)w_second[i];
-    const bool has2 = w_has2[i] != 0;
-    const int32_t path = w_path[i];
-    const int32_t mq_ovr = w_mq_ovr[i];
+  // phase 1 (threaded over the read range; the host has 2 cores):
+  // align/project every read into per-read records
+  struct ReadRes {
+    int32_t score = 0;
+    double identity = 0.0;
+    int32_t mq = 0;
+    int8_t status = 0;  // 0 unmapped, 1 mapped, -2 retry on slow path
+    std::vector<MapRec> maps;
+  };
+  std::vector<ReadRes> res(n_reads);
 
-    // perfect full-length fast path
-    if (score == (double)(L + 2 * BONUS)) {
-      const uint8_t* win = pc_buf + pc_beg[path] + w_lo[i];
-      const uint8_t* hit = (const uint8_t*)memmem(win, w_wlen[i], q, L);
-      if (hit != nullptr) {
-        int64_t off = hit - win;
-        project_path_interval(path, w_lo[i] + off, L, strand, ps_node,
-                              ps_rev, ps_start, st_beg, st_cnt, node_len,
-                              min_id, maps);
-        int32_t mq =
-            mq_ovr >= 0 ? mq_ovr : mq_of(score, second, has2);
-        if (!emit(i, (int32_t)score, 1.0, mq, maps)) return -(i + 1);
-        continue;
+  auto process_range = [&](int64_t lo, int64_t hi) {
+    std::vector<uint8_t> qbuf;
+    std::vector<int32_t> ops, cols;
+    int64_t meta[5];
+    for (int64_t i = lo; i < hi; ++i) {
+      ReadRes& rr = res[i];
+      if (!w_has[i]) continue;
+      const int64_t L = read_off[i + 1] - read_off[i];
+      const uint8_t* fwd = read_buf + read_off[i];
+      const bool strand = w_strand[i] != 0;
+      // oriented query
+      qbuf.resize(L);
+      if (strand) {
+        for (int64_t k = 0; k < L; ++k)
+          qbuf[k] = COMP_CODE[fwd[L - 1 - k] & 7];
+      } else {
+        std::memcpy(qbuf.data(), fwd, L);
+      }
+      const uint8_t* q = qbuf.data();
+      const double score = (double)w_score[i];
+      const double second = (double)w_second[i];
+      const bool has2 = w_has2[i] != 0;
+      const int32_t path = w_path[i];
+      const int32_t mq_ovr = w_mq_ovr[i];
+
+      // perfect full-length fast path
+      if (score == (double)(L + 2 * BONUS)) {
+        const uint8_t* win = pc_buf + pc_beg[path] + w_lo[i];
+        const uint8_t* hit = (const uint8_t*)memmem(win, w_wlen[i], q, L);
+        if (hit != nullptr) {
+          int64_t off = hit - win;
+          project_path_interval(path, w_lo[i] + off, L, strand, ps_node,
+                                ps_rev, ps_start, st_beg, st_cnt,
+                                node_len, min_id, rr.maps);
+          rr.score = (int32_t)score;
+          rr.identity = 1.0;
+          rr.mq = mq_ovr >= 0 ? mq_ovr : mq_of(score, second, has2);
+          rr.status = 1;
+          continue;
+        }
+        if (w_win[i] < 0) {
+          rr.status = -2;  // retry on slow path
+          continue;
+        }
       }
       if (w_win[i] < 0) {
-        out_nmap[i] = -2;  // retry on slow path
+        rr.status = -2;
         continue;
       }
+      // graph-window alignment
+      const int32_t w = w_win[i];
+      const int64_t rb = wref_off[w];
+      const int32_t ncols = (int32_t)(wref_off[w + 1] - rb);
+      const int64_t cap = 4 * (L + ncols) + 8;
+      ops.resize(cap);
+      cols.resize(cap);
+      int64_t wl = graph_align(q, (int32_t)L, wref_buf + rb, ncols,
+                               wpred_off_buf + wpo_beg[w],
+                               wpred_idx_buf + wpi_beg[w], ops.data(),
+                               cols.data(), cap, meta);
+      if (wl < 0) continue;  // unmapped
+      int64_t eff = meta[0] + (meta[2] == L ? BONUS : 0);
+      project_walk(ops.data(), cols.data(), wl, q, L, meta[1],
+                   wpos_handle + rb, wpos_offset + rb, wh_node + wh_beg[w],
+                   wh_rev + wh_beg[w], min_id, rr.maps);
+      if (strand) flip_maps(rr.maps, node_len, min_id);
+      rr.score = (int32_t)eff;
+      rr.identity = wl > 0 ? (double)meta[3] / (double)wl : 0.0;
+      rr.mq = mq_ovr >= 0 ? mq_ovr : mq_of((double)eff, second, has2);
+      rr.status = 1;
     }
-    if (w_win[i] < 0) {
+  };
+  if (n_reads >= 256) {
+    int64_t mid = n_reads / 2;
+    std::thread t1(process_range, 0, mid);
+    process_range(mid, n_reads);
+    t1.join();
+  } else {
+    process_range(0, n_reads);
+  }
+
+  // phase 2 (serial): pack into the flat output arrays
+  for (int64_t i = 0; i < n_reads; ++i) {
+    ReadRes& rr = res[i];
+    out_score[i] = 0;
+    out_identity[i] = 0.0;
+    out_mq[i] = 0;
+    out_nmap[i] = 0;
+    if (rr.status == -2) {
       out_nmap[i] = -2;
-      continue;
+    } else if (rr.status == 1) {
+      if (!emit(i, rr.score, rr.identity, rr.mq, rr.maps)) return -(i + 1);
     }
-    // graph-window alignment
-    const int32_t w = w_win[i];
-    const int64_t rb = wref_off[w];
-    const int32_t ncols = (int32_t)(wref_off[w + 1] - rb);
-    const int64_t cap = 4 * (L + ncols) + 8;
-    ops.resize(cap);
-    cols.resize(cap);
-    int64_t wl = graph_align(q, (int32_t)L, wref_buf + rb, ncols,
-                             wpred_off_buf + wpo_beg[w],
-                             wpred_idx_buf + wpi_beg[w], ops.data(),
-                             cols.data(), cap, meta);
-    if (wl < 0) continue;  // unmapped
-    int64_t eff = meta[0] + (meta[2] == L ? BONUS : 0);
-    project_walk(ops.data(), cols.data(), wl, q, L, meta[1],
-                 wpos_handle + rb, wpos_offset + rb, wh_node + wh_beg[w],
-                 wh_rev + wh_beg[w], min_id, maps);
-    if (strand) flip_maps(maps, node_len, min_id);
-    double identity = wl > 0 ? (double)meta[3] / (double)wl : 0.0;
-    int32_t mq = mq_ovr >= 0 ? mq_ovr : mq_of((double)eff, second, has2);
-    if (!emit(i, (int32_t)eff, identity, mq, maps)) return -(i + 1);
   }
   out_counts[0] = mi;
   out_counts[1] = ei;

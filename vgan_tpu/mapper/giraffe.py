@@ -467,19 +467,38 @@ class BatchedMapper(Mapper):
         return batch_map.finalize_batch(self, reads, br)
 
     def map_reads_table(self, reads, max_candidates: int = 8,
-                        pad: int = 24):
+                        pad: int = 24, chunk: int = 2048):
         """Batch mapping with columnar output (batch_map.AlignmentTable)
         — the production form consumed by the haplocart columnar
         pipeline (pipelines/hc_columnar.py); no per-read Python objects
-        are built. Requires the native lib."""
+        are built. Requires the native lib.
+
+        Batches larger than ~1.5*chunk are double-buffered: while the
+        device scores chunk i, the host runs chunk i+1's seeding and
+        chunk i-1's finalize (per-read results are independent, so the
+        chunked output is identical to the one-shot path)."""
         from . import batch_map
 
         if batch_map.load_native() is None:
             return batch_map.table_from_alignments(
                 self._map_reads_obj(reads, max_candidates, pad)
             )
-        br = batch_map.gather_and_score(self, reads, max_candidates, pad)
-        return batch_map.finalize_table(self, reads, br)
+        if len(reads) <= (chunk * 3) // 2:
+            br = batch_map.gather_and_score(self, reads, max_candidates,
+                                            pad)
+            return batch_map.finalize_table(self, reads, br)
+        tables = []
+        prev = None  # (pending, chunk_reads)
+        for i in range(0, len(reads), chunk):
+            ch = reads[i : i + chunk]
+            pend = batch_map.gather_submit(self, ch, max_candidates, pad)
+            if prev is not None:
+                br = batch_map.gather_collect(prev[0])
+                tables.append(batch_map.finalize_table(self, prev[1], br))
+            prev = (pend, ch)
+        br = batch_map.gather_collect(prev[0])
+        tables.append(batch_map.finalize_table(self, prev[1], br))
+        return batch_map.AlignmentTable.concat(tables)
 
     def _map_reads_obj(self, reads, max_candidates: int = 8, pad: int = 24):
         read_codes, all_cands, scores, best_of = self._gather_candidates(
@@ -887,6 +906,68 @@ class BatchedMapper(Mapper):
         return a
 
 
+def _batch_hits_native(index: MinimizerIndex, read_buf, read_off):
+    """C++ twin of _batch_hits (cpp/seedhits.cpp): rolling k-mer hash +
+    binary-search join + postings expansion over a packed read buffer,
+    threaded over reads. Returns None when the native lib is absent."""
+    import ctypes
+
+    from . import batch_map
+
+    lib = batch_map.load_native()
+    if lib is None:
+        return None
+    arrs = getattr(index, "_native_arrs", None)
+    if arrs is None:
+        arrs = (
+            np.ascontiguousarray(index.hashes, dtype=np.uint64),
+            np.ascontiguousarray(index.post_off, dtype=np.int64),
+            np.ascontiguousarray(index.post_path, dtype=np.int32),
+            np.ascontiguousarray(index.post_ppos, dtype=np.int64),
+            np.ascontiguousarray(
+                index.post_rc.astype(np.uint8), dtype=np.uint8
+            ),
+        )
+        index._native_arrs = arrs
+    hashes, post_off, post_path, post_ppos, post_rc = arrs
+    n_reads = len(read_off) - 1
+    total = int(read_off[-1])
+    cap = max(1 << 16, 4 * max(total - (index.k - 1) * n_reads, 1))
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    while True:
+        hit_read = np.empty(cap, dtype=np.int32)
+        hit_path = np.empty(cap, dtype=np.int32)
+        hit_strand = np.empty(cap, dtype=np.uint8)
+        hit_diag = np.empty(cap, dtype=np.int64)
+        rc = lib.batch_seed_hits(
+            p(read_buf, ctypes.c_uint8), p(read_off, ctypes.c_int64),
+            n_reads, index.k, 1 if index.ry else 0,
+            p(hashes, ctypes.c_uint64), len(hashes),
+            p(post_off, ctypes.c_int64),
+            p(post_path, ctypes.c_int32), p(post_ppos, ctypes.c_int64),
+            p(post_rc, ctypes.c_uint8),
+            p(hit_read, ctypes.c_int32), p(hit_path, ctypes.c_int32),
+            p(hit_strand, ctypes.c_uint8), p(hit_diag, ctypes.c_int64),
+            cap,
+        )
+        if rc >= 0:
+            n = int(rc)
+            return (
+                hit_read[:n].astype(np.int64),
+                hit_path[:n].astype(np.int64),
+                hit_strand[:n].astype(np.int64),
+                hit_diag[:n],
+            )
+        cap = int(-rc)
+
+
 def _batch_hits(index: MinimizerIndex, read_codes_list, read_lens):
     """Hash every read k-mer (RY-projected when the index is an RYmer
     index), join against the index, and expand postings to flat hit
@@ -930,24 +1011,44 @@ def seed_and_cluster_arrays(
     read_codes_list,
     max_diag_gap: int = 48,
     ry_index: Optional[MinimizerIndex] = None,
+    read_buf: Optional[np.ndarray] = None,
+    read_off: Optional[np.ndarray] = None,
 ):
     """Vectorized seeding for a whole read batch, flat-array output.
 
-    All k-mers of all reads are hashed and looked up in one numpy pass
-    (searchsorted join against the sorted index hashes), postings are
-    expanded CSR-style, and clusters are cut with a single lexsort over
-    (read, path, strand, diagonal) — no per-hit Python loops.
-    With ry_index (SAFARI damage-aware mode) RYmer-space hits are
-    merged in before clustering, so seeds broken by C->T/G->A
-    deamination still anchor candidates.
+    Production path is the native C++ join (_batch_hits_native, 2
+    threads); the numpy pass (_batch_hits: searchsorted join + CSR
+    postings expansion) is the fallback and oracle. Clusters are cut
+    with a single lexsort over (read, path, strand, diagonal) — no
+    per-hit Python loops. With ry_index (SAFARI damage-aware mode)
+    RYmer-space hits are merged in before clustering, so seeds broken
+    by C->T/G->A deamination still anchor candidates.
+
+    read_buf/read_off: optional packed view of read_codes_list
+    (concatenated uint8 codes + [n+1] offsets) — passed by the batch
+    mapper to avoid a re-concatenation.
 
     Returns (read, path, strand, diag_lo, diag_hi, n_seeds) arrays in
     (read, path, strand, diag) order, or None when there are no hits.
     """
     read_lens = np.array([len(c) for c in read_codes_list], dtype=np.int64)
-    read_of, path, strand, diag = _batch_hits(index, read_codes_list, read_lens)
+    if read_buf is None:
+        read_off = np.zeros(len(read_codes_list) + 1, dtype=np.int64)
+        np.cumsum(read_lens, out=read_off[1:])
+        read_buf = (
+            np.ascontiguousarray(np.concatenate(read_codes_list))
+            if read_codes_list
+            else np.zeros(0, dtype=np.uint8)
+        )
+    hits = _batch_hits_native(index, read_buf, read_off)
+    if hits is None:
+        hits = _batch_hits(index, read_codes_list, read_lens)
+    read_of, path, strand, diag = hits
     if ry_index is not None:
-        r2, p2, s2, d2 = _batch_hits(ry_index, read_codes_list, read_lens)
+        hits2 = _batch_hits_native(ry_index, read_buf, read_off)
+        if hits2 is None:
+            hits2 = _batch_hits(ry_index, read_codes_list, read_lens)
+        r2, p2, s2, d2 = hits2
         read_of = np.concatenate([read_of, r2])
         path = np.concatenate([path, p2])
         strand = np.concatenate([strand, s2])

@@ -224,8 +224,7 @@ def sw_scores_reference(read_codes, win_codes, read_len, win_len):
     return out
 
 
-@jax.jit
-def sw_scores_xla(read_codes, win_codes, read_len, win_len):
+def sw_scores_core(read_codes, win_codes, read_len, win_len):
     """XLA twin of the Pallas kernel: identical column recurrence as a
     `lax.scan` over window columns.
 
@@ -234,7 +233,9 @@ def sw_scores_xla(read_codes, win_codes, read_len, win_len):
     legalization failure) and takes minutes for grid-less ones, while
     XLA compiles this scan in seconds and emits the same VPU vector
     ops. The Pallas kernel above remains the reference kernel
-    formulation (exercised in interpret mode by the test suite)."""
+    formulation (exercised in interpret mode by the test suite).
+    Traceable core; `sw_scores_xla` is the jitted entry and
+    `gather_score_hash` fuses it with the device-side window gather."""
     B, R = read_codes.shape
     W = win_codes.shape[1]
     rT = jnp.concatenate(
@@ -264,9 +265,7 @@ def sw_scores_xla(read_codes, win_codes, read_len, win_len):
             shift *= 2
         return x
 
-    def step(carry, inp):
-        H, E, best = carry
-        wcol, cvalid = inp  # [B], [B]
+    def one_col(H, E, best, wcol, cvalid):
         s = jnp.where(
             (rT == wcol[None, :]) & (rT < 4),
             jnp.float32(MATCH),
@@ -285,10 +284,110 @@ def sw_scores_xla(read_codes, win_codes, read_len, win_len):
         e_new = jnp.where(cvalid[None, :], e_new, E)
         cell = jnp.where(cvalid[None, :], h_new + bonus_end, neg)
         best = jnp.maximum(best, jnp.max(cell, axis=0))
-        return (h_new, e_new, best), None
+        return h_new, e_new, best
+
+    # CB columns per scan step: the unrolled step body fuses CB column
+    # recurrences between carry load/stores, cutting the scan's
+    # per-step overhead ~6x on the TPU (measured round 3; same trick
+    # as the Pallas kernel's columns-per-grid-step). W is a multiple
+    # of 64 by construction (batch_map rounds window widths), so CB
+    # always divides it.
+    CB = 4 if W % 4 == 0 else 1
+
+    def step(carry, inp):
+        H, E, best = carry
+        wcols, cvalids = inp  # [CB, B]
+        for kk in range(CB):
+            H, E, best = one_col(H, E, best, wcols[kk], cvalids[kk])
+        return (H, E, best), None
 
     H0 = jnp.zeros((R1, B), jnp.float32)
     E0 = jnp.full((R1, B), neg)
     best0 = jnp.zeros((B,), jnp.float32)
-    (H, E, best), _ = jax.lax.scan(step, (H0, E0, best0), (wT, wvalid))
+    (H, E, best), _ = jax.lax.scan(
+        step,
+        (H0, E0, best0),
+        (wT.reshape(W // CB, CB, B), wvalid.reshape(W // CB, CB, B)),
+    )
     return best
+
+
+sw_scores_xla = jax.jit(sw_scores_core)
+
+# complement LUT over the uint8 code alphabet (codes 0..7 complemented,
+# everything else — incl. the 255 padding sentinel — identity)
+_COMP256 = np.arange(256, dtype=np.uint8)
+
+
+def _init_comp256():
+    from ..utils import dna
+
+    _COMP256[:8] = dna._COMP
+
+
+_init_comp256()
+
+
+@partial(jax.jit, static_argnames=("Wmax",))
+def gather_score_hash(pc_buf, reads_mat, read_lens, aux, Wmax):
+    """One-dispatch mapper device phase: window gather + oriented query
+    build + content hash + batched SW scoring.
+
+    Replaces the host-built (rows, Wmax)/(rows, Rmax) int32 uploads of
+    the round-2 path with tiny index arrays — the path-code pool
+    (`pc_buf`, device-cached across batches) and the packed read matrix
+    (`reads_mat`, uint8) stay resident while per-candidate traffic is
+    one packed [4, Mb] aux array (every separate argument costs a
+    tunnel round trip on the axon backend). This is the "move candidate
+    window gather onto device" step of the mapper plan (VERDICT r2
+    #1b); the scoring math is byte-identical to `sw_scores_core`.
+
+    Args (all device/committable):
+      pc_buf    [P]        uint8  pooled per-path haplotype codes
+      reads_mat [Nb, Rmax] uint8  row r = read r's codes, 255-padded
+      read_lens [Nb]       int32
+      aux       [4, Mb]    int32/int64: rows = candidate -> read row,
+                           pc_buf offset of window start, window length
+                           (0 = padding row), strand (1 = revcomp)
+      Wmax      static     window width (hash ladders are compile-time
+                           constants keyed by it)
+
+    Returns [3, Mb] int32: row 0 = SW scores (f32 bitcast), rows 1-2 =
+    window content hashes (the host dedups with these; two independent
+    32-bit hashes + (read, strand, wlen) key the dedup groups).
+    """
+    c_read = aux[0].astype(jnp.int32)
+    gbase = aux[1]
+    wlen = aux[2].astype(jnp.int32)
+    strand = aux[3].astype(jnp.int32)
+    from .batch_map import _pows
+
+    p1_np, p2_np = _pows(Wmax)
+    p1 = jnp.asarray(np.ascontiguousarray(p1_np))
+    p2 = jnp.asarray(np.ascontiguousarray(p2_np))
+    Rmax = reads_mat.shape[1]
+    jj = jnp.arange(Wmax, dtype=gbase.dtype)
+    gpos = jnp.clip(gbase[:, None] + jj[None, :], 0,
+                    max(pc_buf.shape[0] - 1, 0))
+    wmask = jj[None, :].astype(jnp.int32) < wlen[:, None]
+    w8 = jnp.where(wmask, pc_buf[gpos], jnp.uint8(255))
+    wi = w8.astype(jnp.int32) + 1
+    h1 = jnp.sum(wi * p1[None, :], axis=1, dtype=jnp.int32)
+    h2 = jnp.sum(wi * p2[None, :], axis=1, dtype=jnp.int32)
+
+    L = read_lens[c_read].astype(jnp.int32)
+    jr = jnp.arange(Rmax, dtype=jnp.int32)
+    flip = (strand > 0)[:, None]
+    idx = jnp.where(flip, L[:, None] - 1 - jr[None, :], jr[None, :])
+    idx = jnp.clip(idx, 0, Rmax - 1)
+    rows = reads_mat[c_read]
+    vals = jnp.take_along_axis(rows, idx, axis=1)
+    vals = jnp.where(flip, jnp.asarray(_COMP256)[vals], vals)
+    q8 = jnp.where(jr[None, :] < L[:, None], vals, jnp.uint8(255))
+
+    scores = sw_scores_core(
+        q8.astype(jnp.int32), w8.astype(jnp.int32), L, wlen
+    )
+    return jnp.stack(
+        [jax.lax.bitcast_convert_type(scores, jnp.int32), h1, h2]
+    )
