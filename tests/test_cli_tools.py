@@ -146,3 +146,22 @@ def test_euka_cli_e2e(tiny_euka_db, tmp_path):
     assert rows and rows[0][0] == "ToyTaxon"
     assert rows[0][1] == "yes"
     assert int(rows[0][2]) >= 1
+
+
+def test_thread_flag_contract():
+    """`-t` validation parity (`src/HaploCart.cpp:184-191`, asserted by
+    `src/test.cpp:766-789`): 0 and <-1 raise, -1 = all hardware
+    threads, oversized counts clamp with a warning."""
+    import os
+
+    import pytest
+
+    from vgan_tpu.cli import _check_threads
+
+    for bad in ("0", "-2", "-424242"):
+        with pytest.raises(RuntimeError, match="invalid number of threads"):
+            _check_threads(bad, "HaploCart")
+    avail = os.cpu_count() or 1
+    assert _check_threads("-1", "HaploCart") == avail
+    assert _check_threads("1", "HaploCart") == 1
+    assert _check_threads("424242", "HaploCart") == avail

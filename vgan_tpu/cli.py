@@ -24,6 +24,30 @@ def _take(args: List[str], i: int) -> str:
     return args[i + 1]
 
 
+def _check_threads(val: str, prog: str) -> int:
+    """Validate a `-t` value with the reference's contract
+    (`src/HaploCart.cpp:184-191`, asserted by `src/test.cpp:766-789`):
+    0 or < -1 raises, -1 means all hardware threads, a too-large count
+    warns and clamps. The count itself only gates the native finalize
+    threading here (device batching replaces OpenMP otherwise)."""
+    import os
+
+    n = int(val)
+    if n < -1 or n == 0:
+        raise RuntimeError(f"[{prog}] Error, invalid number of threads")
+    avail = os.cpu_count() or 1
+    if n == -1:
+        return avail
+    if n > avail:
+        print(
+            f"[{prog}] Warning, specified number of threads is greater "
+            f"than the number available. Using {avail} threads",
+            file=sys.stderr,
+        )
+        return avail
+    return n
+
+
 def _strip_multihost_flags(argv: List[str]) -> List[str]:
     """--coordinator host:port --nproc N --procid I (or VGAN_* env):
     join the cross-host runtime before dispatch (SURVEY §2.9 comm
@@ -128,7 +152,7 @@ def cmd_haplocart(args: List[str]) -> int:
             cfg.quiet = True
             i += 1
         elif a == "-t":
-            i += 2  # thread count accepted for compatibility
+            _check_threads(_take(args, i), "HaploCart"); i += 2
         elif a == "--precise":
             # host f64 oracle scorer instead of the device batch path
             cfg.precise = True; i += 1
@@ -232,7 +256,7 @@ def cmd_euka(args: List[str]) -> int:
             # `src/Euka.cpp:300-303`)
             safari = True; i += 1
         elif a == "-t":
-            i += 2
+            _check_threads(_take(args, i), "euka"); i += 2
         elif a == "--profile":
             from .utils import profiling
 
@@ -372,7 +396,7 @@ def cmd_soibean(args: List[str]) -> int:
         elif a == "-P":
             penalty = int(_take(args, i)); i += 2
         elif a == "-t":
-            i += 2
+            _check_threads(_take(args, i), "soibean"); i += 2
         elif a == "-i":
             interleaved = True; i += 1
         elif a == "--randStart":
@@ -703,7 +727,8 @@ def _load_graph(prefix: str):
 
     from .graph.packed import PackedGraph  # noqa: F401
 
-    exts = (".npz", ".gfa", ".vg", ".og", ".gbz", ".giraffe.gbz")
+    exts = (".npz", ".gfa", ".vg", ".og", ".gbz", ".giraffe.gbz",
+            ".gg")
     if prefix.endswith(exts) and os.path.exists(prefix):
         return _load_one_graph(prefix)
     for ext in exts:
@@ -711,7 +736,7 @@ def _load_graph(prefix: str):
             return _load_one_graph(prefix + ext)
     d = os.path.dirname(prefix)
     for name in ("graph.npz", "graph.gfa", "graph.vg", "graph.og",
-                 "graph.giraffe.gbz"):
+                 "graph.giraffe.gbz", "graph.gg"):
         cand = os.path.join(d, name)
         if os.path.exists(cand):
             return _load_one_graph(cand)

@@ -15,8 +15,9 @@ array passes over mapper/batch_map.AlignmentTable:
            aligned coordinates, cumulative-logq unsupported penalty)
   score    haplocart_device.score_batch / the sharded mesh step
 
-Parity: tests/test_hc_columnar.py asserts the final_vec equals the
-object path bit-for-bit on mapper output.
+Parity: tests/test_pipelines_e2e.py (columnar-vs-object cases)
+asserts the final_vec equals the object path bit-for-bit on mapper
+output.
 """
 from __future__ import annotations
 

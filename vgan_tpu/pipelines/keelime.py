@@ -1463,7 +1463,9 @@ def main_keelime(args: List[str]) -> int:
         elif a in ("-uC", "--useRemaining"):
             use_remaining = True; i += 1
         elif a == "-t":
-            i += 2
+            from ..cli import _check_threads
+
+            _check_threads(_take(args, i), "keelime"); i += 2
         elif a == "--profile":
             from ..utils import profiling
 
