@@ -298,3 +298,36 @@ def test_alignment_detail_tsv(toy_graph, toy_reads, tmp_path):
         f.readline()
         rows1 = f.readlines()
     assert len(rows1) <= len(rows)
+
+
+def test_analyse_table_matches_loop(ref):
+    """Columnar analyse_table == literal per-read loop on a larger
+    mixed-strand mapper batch (fwd/rev reads, damage-noised bases,
+    multi-mapping paths) — full f64 equality of pathMap and counts25."""
+    import pytest
+
+    from vgan_tpu.graph.synth import build_haplotype_graph, sample_reads
+    from vgan_tpu.io.fastx import read_fasta
+    from vgan_tpu.mapper import batch_map
+    from vgan_tpu.mapper.giraffe import BatchedMapper
+
+    if batch_map.load_native() is None:
+        pytest.skip("native lib unavailable")
+    seqs, _ = read_fasta(str(ref / "test/input_files/rCRS.fa"))
+    graph, _ = build_haplotype_graph(
+        seqs[0][:5000], n_haplotypes=6, n_variants=60, seed=9
+    )
+    mapper = BatchedMapper(graph, k=20, w=10)
+    reads = sample_reads(graph, 1, n_reads=250, seed=7)
+    table = mapper.map_reads_table(reads)
+    alignments = table.to_alignments()
+
+    loop = soibean.analyse_reads_loop(graph, alignments, penalty=7)
+    vec = soibean.analyse_table(graph, table, penalty=7)
+    assert vec.names == loop.names
+    np.testing.assert_allclose(vec.path_map, loop.path_map, rtol=1e-12)
+    np.testing.assert_array_equal(vec.counts25, loop.counts25)
+    np.testing.assert_array_equal(vec.most_prob_idx, loop.most_prob_idx)
+    np.testing.assert_array_equal(
+        vec.most_prob_unique, loop.most_prob_unique
+    )

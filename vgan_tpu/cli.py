@@ -438,9 +438,22 @@ def cmd_soibean(args: List[str]) -> int:
     graph = _load_graph(prefix)
     from .utils.profiling import PROFILER
 
+    # columnar path end-to-end (map_reads_table / native GAM decode ->
+    # analyse_table, zero per-read objects) unless --alignment-detail
+    # needs the row-at-a-time TSV writer or the native lib is absent
+    from .mapper.batch_map import (
+        load_native, table_from_alignments, table_from_gam,
+    )
+
+    table = alignments = None
+    columnar = load_native() is not None and not alignment_detail
     if gamfile:
         with PROFILER.stage("read_gam"):
-            alignments = gamio.read_gam(gamfile)
+            if columnar:
+                table = table_from_gam(gamfile)
+            if table is None:
+                alignments = gamio.read_gam(gamfile)
+        n_in = table.n if table is not None else len(alignments)
     else:
         mapper = Mapper(graph, k=k, w=w, safari=safari)
         reads = fastx.read_fastq(fq1)
@@ -453,14 +466,24 @@ def cmd_soibean(args: List[str]) -> int:
                     alignments = mapper.map_reads(reads + r2)
             elif interleaved and len(reads) % 2 == 0:
                 alignments = mapper.map_read_pairs(reads[0::2], reads[1::2])
+            elif columnar:
+                table = mapper.map_reads_table(reads)
             else:
                 alignments = mapper.map_reads(reads)
-    with PROFILER.stage("analyse", items=len(alignments)):
-        stats = sb.analyse_reads(
-            graph, alignments, penalty=penalty,
-            detail_path=out if alignment_detail else "",
-            path_thres=path_thres,
-        )
+        n_in = table.n if table is not None else len(alignments)
+    with PROFILER.stage("analyse", items=n_in):
+        if table is not None:
+            stats = sb.analyse_table(graph, table, penalty=penalty)
+        elif columnar:
+            stats = sb.analyse_table(
+                graph, table_from_alignments(alignments), penalty=penalty
+            )
+        else:
+            stats = sb.analyse_reads(
+                graph, alignments, penalty=penalty,
+                detail_path=out if alignment_detail else "",
+                path_thres=path_thres,
+            )
     if not run_mcmc_flag:
         PROFILER.report()
         return 0

@@ -463,8 +463,9 @@ class BatchedMapper(Mapper):
             return []
         if batch_map.load_native() is None:
             return self._map_reads_obj(reads, max_candidates, pad)
-        br = batch_map.gather_and_score(self, reads, max_candidates, pad)
-        return batch_map.finalize_batch(self, reads, br)
+        return self.map_reads_table(
+            reads, max_candidates, pad
+        ).to_alignments()
 
     def map_reads_table(self, reads, max_candidates: int = 8,
                         pad: int = 24, chunk: int = 2048):

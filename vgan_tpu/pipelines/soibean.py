@@ -81,6 +81,39 @@ def analyse_reads(
 ) -> ReadStats:
     """Host-side equivalent of analyse_GAM building the stats arrays.
 
+    Production path is the columnar/vectorized `analyse_table` (native
+    batch reconstruction + flat array passes, no per-read Python loop);
+    the literal per-read loop below remains the oracle
+    (`analyse_reads_loop`, parity-tested in tests/test_soibean.py) and
+    handles the --alignment-detail TSV, whose per-matching-base rows
+    are inherently row-at-a-time."""
+    if not detail_path:
+        try:
+            from ..mapper.batch_map import load_native, table_from_alignments
+
+            if load_native() is not None:
+                return analyse_table(
+                    graph, table_from_alignments(alignments),
+                    penalty=penalty,
+                )
+        except OSError:  # pragma: no cover
+            pass
+    return analyse_reads_loop(
+        graph, alignments, penalty=penalty, detail_path=detail_path,
+        path_thres=path_thres,
+    )
+
+
+def analyse_reads_loop(
+    graph: PackedGraph,
+    alignments: Sequence[Alignment],
+    penalty: int = 7,
+    detail_path: str = "",
+    path_thres: int = 0,
+) -> ReadStats:
+    """Literal per-read transcription of analyse_GAM (the oracle for
+    `analyse_table`).
+
     detail_path/path_thres: the --alignment-detail / --pathThres
     feature (`src/getLCAfromGAM.h:73-77,199-214`): writes
     <out>_MatchInfo.tsv with one row per (supported path, matching
@@ -243,6 +276,215 @@ def analyse_reads(
         counts25=counts25,
         most_prob_unique=unique,
         most_prob_idx=idx,
+    )
+
+
+def _segment_firsts(counts: np.ndarray) -> np.ndarray:
+    """Exclusive cumsum: flat index of each segment's first element."""
+    off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    return off
+
+
+def analyse_table(graph: PackedGraph, table, penalty: int = 7) -> ReadStats:
+    """Columnar analyse_GAM (`src/getLCAfromGAM.h:123-539`): the whole
+    per-read x per-slice x per-base computation as flat array passes
+    over the native batch reconstruction — zero per-read Python loops
+    (the CLAUDE.md hot-host-path rule; VERDICT r2 #5).
+
+    Semantics are identical to `analyse_reads_loop` (parity test:
+    tests/test_soibean.py::test_analyse_table_matches_loop), including
+    every preserved reference quirk: slice-local quality indexing, the
+    reverse-strand start off-by-one (closed form
+    start_i = max(len-1 - sum_{j<=i}(size_j+1), 0), equivalent to the
+    sequential clamp because sizes are positive), PENALTY-periodic
+    unsupported scoring walked from the mapping's aligned start, and
+    trailing mppg_sizes entries scored unsupported for every path."""
+    from ..mapper.batch_map import AlignmentTable  # noqa: F401
+    from .hc_columnar import reconstruct_table
+
+    qscore = phred.qscore_vec()
+    P = graph.n_paths
+    support = graph.path_support  # [n_nodes, P] bool
+    keep = (table.identity != 0) & (table.nmap > 0)
+    t = table.select(keep)
+    R = t.n
+    names = list(t.names)
+    if R == 0:
+        return ReadStats(
+            names=names,
+            path_map=np.zeros((0, P), dtype=np.float64),
+            counts25=np.zeros((0, P, 25), dtype=np.float32),
+            most_prob_unique=np.zeros(0, dtype=bool),
+            most_prob_idx=np.zeros(0, dtype=np.int64),
+        )
+    g_cat, g_off, g_len, r_cat, r_off, r_len, szs, s_off, s_len = (
+        reconstruct_table(graph, t)
+    )
+
+    # per-read scalars
+    isrev = t.m_rev[t.map_off[:-1]].astype(bool)  # first mapping strand
+    n_map = t.nmap.astype(np.int64)
+    seq_len = np.array([len(s) for s in t.seqs], dtype=np.int64)
+    qual_cat = np.frombuffer(b"".join(t.quals), dtype=np.uint8)
+    qual_len = np.array([len(q) for q in t.quals], dtype=np.int64)
+    qual_off = _segment_firsts(qual_len)
+
+    # flat slice table (one row per mppg_sizes entry, read-major order)
+    s_len = s_len.astype(np.int64)
+    n_sl = int(s_len.sum())
+    sl_read = np.repeat(np.arange(R, dtype=np.int64), s_len)
+    first_of_read = _segment_firsts(s_len)  # [R+1]
+    i_within = np.arange(n_sl, dtype=np.int64) - first_of_read[sl_read]
+    sizes = szs[
+        AlignmentTable._ranges(s_off[:-1], s_len)
+    ].astype(np.int64)
+
+    # slice starts: forward = exclusive within-read cumsum of sizes;
+    # reverse = max(len-1 - inclusive cumsum of (size+1), 0); the
+    # pre-slice baseIX is len-1 - exclusive cumsum of (size+1)
+    # (`src/getLCAfromGAM.h:180` off-by-one preserved)
+    c = np.cumsum(sizes)
+    excl = c - sizes - (c[first_of_read[sl_read]]
+                        - sizes[first_of_read[sl_read]])
+    L0 = seq_len[sl_read] - 1
+    start = np.where(
+        isrev[sl_read],
+        np.maximum(L0 - (excl + sizes + i_within + 1), 0),
+        excl,
+    )
+    baseIX = np.where(
+        isrev[sl_read], np.maximum(L0 - (excl + i_within), 0), excl
+    )
+    sl_L = np.clip(g_len[sl_read] - start, 0, sizes)
+
+    # flat position table (one row per reconstructed base in a slice)
+    n_pos = int(sl_L.sum())
+    pos_slice = np.repeat(np.arange(n_sl, dtype=np.int64), sl_L)
+    pos_read = sl_read[pos_slice]
+    s_pos = np.arange(n_pos, dtype=np.int64) - np.repeat(
+        _segment_firsts(sl_L)[:-1], sl_L
+    )
+    gidx = g_off[pos_read] + start[pos_slice] + s_pos
+    g = g_cat[gidx]
+    r = r_cat[gidx]
+
+    # slice-local quality (reference quirk: every slice re-reads the
+    # first |slice| quality values of the read; positions past the
+    # quality string score as phred 0)
+    in_q = s_pos < qual_len[pos_read]
+    idx_q = np.where(in_q, qual_off[pos_read] + s_pos, 0)
+    qcode = (
+        np.where(in_q, qual_cat[idx_q], 0)
+        if len(qual_cat)
+        else np.zeros(n_pos, dtype=np.uint8)
+    )
+    q = qscore[np.clip(qcode, 0, 99)]
+
+    is_n = (g == dna.N) | (r == dna.N)
+    is_s = ~is_n & ((g == dna.SOFTCLIP) | (r == dna.SOFTCLIP))
+    is_gap = ~is_n & ~is_s & ((g == dna.GAP) | (r == dna.GAP))
+    is_base = ~is_n & ~is_s & ~is_gap
+    g_rare = is_base & (g >= 4)
+    g_acgt = is_base & (g < 4)
+
+    # per-read specials; per-slice stored/unsupported sums. Integer
+    # counts x constant (not a float sum of n copies) to reproduce the
+    # loop's exact `count * LOG_CONST` products — path_map entries for
+    # perfect matches are ~1e-6 sums of ~1e-7 terms, so summation
+    # structure is the difference between 1e-16 and 1e-9 relative.
+    n_n = np.bincount(pos_slice[is_n], minlength=n_sl)
+    n_gap = np.bincount(pos_slice[is_gap], minlength=n_sl)
+    s_sum = np.bincount(
+        pos_slice[is_s], weights=np.log(q[is_s] / 3.0), minlength=n_sl
+    )
+    spec_slice = n_n * LOG_N + s_sum + n_gap * LOG_GAP
+    specials_r = np.bincount(sl_read, weights=spec_slice, minlength=R)
+
+    n_acgt = np.bincount(pos_slice[g_acgt], minlength=n_sl)
+    rare_sum = np.bincount(
+        pos_slice[g_rare], weights=np.log(4.0 * q[g_rare] / 3.0),
+        minlength=n_sl,
+    )
+    stored_sup = n_acgt * LOG_SUPPORTED_CONST + rare_sum
+
+    # unsupported penalty: baseOnRead walk over non-gap read chars
+    ng = (r != dna.GAP).astype(np.int64)
+    excl_ng = np.cumsum(ng) - ng  # global exclusive nongap count
+    sl_first = _segment_firsts(sl_L)[:-1]
+    base_ng = np.zeros(n_sl, dtype=np.int64)
+    nz_sl = sl_L > 0
+    base_ng[nz_sl] = excl_ng[sl_first[nz_sl]]
+    before = excl_ng - base_ng[pos_slice]
+    base_on_read = np.where(
+        isrev[pos_read], baseIX[pos_slice] - before, baseIX[pos_slice] + before
+    )
+    periodic = (np.abs(base_on_read) % penalty) == 0
+    pen = np.where(periodic, np.log1p(-q), np.log(np.maximum(q, 1e-300) / 3.0))
+    unsup_pen = np.bincount(
+        pos_slice, weights=np.where(is_base, pen, 0.0), minlength=n_sl
+    )
+
+    # per-slice pair-class counts (classes {A,C,G,T,other}^2)
+    gc = np.minimum(g, 4).astype(np.int64)
+    rc = np.minimum(r, 4).astype(np.int64)
+    pc25 = np.bincount(
+        pos_slice[is_base] * 25 + gc[is_base] * 5 + rc[is_base],
+        minlength=n_sl * 25,
+    ).reshape(n_sl, 25).astype(np.float32)
+
+    # roll-up with the loop's non-cancelling formulation:
+    #   path_map[r] = specials_r + stored_sup @ S + unsup_pen @ (1-S)
+    #   counts25[r] = S^T @ pc25
+    # S[i] = support[node_i] (zero row for trailing no-node slices),
+    # evaluated as chunked padded einsums ([B, Mmax, P] intermediates
+    # bounded to ~32MB).
+    has_node = i_within < n_map[sl_read]
+    safe_map_idx = np.where(
+        has_node, t.map_off[sl_read] + i_within, 0
+    )
+    node_idx = t.m_node[safe_map_idx] - graph.min_id
+    path_map = np.tile(specials_r[:, None], (1, P))
+    counts25 = np.zeros((R, P, 25), dtype=np.float32)
+    Mmax = int(s_len.max())
+    rank = i_within
+    sup_rows = np.where(
+        has_node[:, None], support[node_idx], False
+    )
+    B = max(1, int(4_000_000 // max(Mmax * P, 1)))
+    for lo_r in range(0, R, B):
+        hi_r = min(lo_r + B, R)
+        sel = slice(first_of_read[lo_r], first_of_read[hi_r])
+        rr = sl_read[sel] - lo_r
+        kk = rank[sel]
+        nb = hi_r - lo_r
+        S_pad = np.zeros((nb, Mmax, P), dtype=np.float64)
+        S_pad[rr, kk] = sup_rows[sel]
+        stored_pad = np.zeros((nb, Mmax), dtype=np.float64)
+        stored_pad[rr, kk] = stored_sup[sel]
+        unsup_pad = np.zeros((nb, Mmax), dtype=np.float64)
+        unsup_pad[rr, kk] = unsup_pen[sel]
+        valid = np.zeros((nb, Mmax), dtype=np.float64)
+        valid[rr, kk] = 1.0
+        path_map[lo_r:hi_r] += np.einsum("bm,bmp->bp", stored_pad, S_pad)
+        path_map[lo_r:hi_r] += np.einsum(
+            "bm,bmp->bp", unsup_pad, valid[:, :, None] - S_pad
+        )
+        C_pad = np.zeros((nb, Mmax, 25), dtype=np.float32)
+        C_pad[rr, kk] = pc25[sel]
+        counts25[lo_r:hi_r] = np.einsum(
+            "bmp,bmc->bpc", S_pad.astype(np.float32), C_pad
+        )
+
+    guards.check_loglik(path_map, "soibean pathMap")
+    mx = path_map.max(axis=1, keepdims=True)
+    ties = (path_map == mx).sum(axis=1)
+    return ReadStats(
+        names=names,
+        path_map=path_map,
+        counts25=counts25,
+        most_prob_unique=ties == 1,
+        most_prob_idx=path_map.argmax(axis=1),
     )
 
 
