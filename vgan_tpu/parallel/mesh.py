@@ -44,6 +44,10 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
 # ----------------------------------------------------------- auto selection
 _DEVICE_LIMIT: Optional[int] = None
 _AUTO_CACHE: dict = {}
+# engage tp once the replicated support matrix would exceed this many
+# bytes per chip (the real HC DB is 11,825 x 5,179 f64 = ~490MB,
+# `src/load.cpp:284-292`; dp-only would replicate that on every chip)
+TP_BYTES_THRESHOLD = 128 * 1024 * 1024
 
 
 def set_device_limit(n: Optional[int]) -> None:
@@ -53,17 +57,32 @@ def set_device_limit(n: Optional[int]) -> None:
     _AUTO_CACHE.clear()
 
 
-def auto_mesh() -> Optional[Mesh]:
-    """Mesh over all local devices (dp=n, tp=1) — the production
-    default for the CLI runners; None when a single device is visible
-    (or the limit disables sharding). The TPU-native successor of the
-    reference's OpenMP thread pool (`src/HaploCart.cpp:408-421`)."""
-    key = "mesh"
+def auto_mesh(support_bytes: int = 0) -> Optional[Mesh]:
+    """Mesh over all local devices — the production default for the
+    CLI runners; None when a single device is visible (or the limit
+    disables sharding). The TPU-native successor of the reference's
+    OpenMP thread pool (`src/HaploCart.cpp:408-421`).
+
+    dp takes the whole mesh unless `support_bytes` (the caller's
+    node x path support matrix size) exceeds TP_BYTES_THRESHOLD, in
+    which case the path axis is sharded with just enough tp (powers of
+    two) to bring the per-chip slice under the threshold — reads keep
+    the remaining dp ways. Callers that pass nothing (euka's scorer
+    flattens (dp, tp) into one data axis) always get the dp-major
+    mesh."""
+    n = len(jax.devices())
+    if _DEVICE_LIMIT is not None:
+        n = min(n, _DEVICE_LIMIT)
+    if n <= 1:
+        return None
+    tp = 1
+    while tp < n and n % (tp * 2) == 0 and (
+        support_bytes // tp > TP_BYTES_THRESHOLD
+    ):
+        tp *= 2
+    key = ("mesh", n, tp)
     if key not in _AUTO_CACHE:
-        n = len(jax.devices())
-        if _DEVICE_LIMIT is not None:
-            n = min(n, _DEVICE_LIMIT)
-        _AUTO_CACHE[key] = make_mesh(n_devices=n, dp=n, tp=1) if n > 1 else None
+        _AUTO_CACHE[key] = make_mesh(n_devices=n, dp=n // tp, tp=tp)
     return _AUTO_CACHE[key]
 
 

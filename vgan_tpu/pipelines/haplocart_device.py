@@ -95,6 +95,44 @@ def score_batch(batch: HcBatch, t: HcTables, bep=1e-4, consensus: bool = False):
     return total_b + c @ t.support
 
 
+@partial(jax.jit, static_argnames=("M", "S", "consensus"))
+def score_packed(buf, t: HcTables, bep, M: int, S: int,
+                 consensus: bool = False):
+    """Unpack hc_columnar.pack_batch's single uint8 buffer on device
+    and score it — ONE transfer + ONE dispatch for the whole batch
+    (the single-device production path; the math is score_batch's,
+    byte for byte)."""
+    o = 0
+    grq = buf[: 3 * M * S].reshape(3, M, S).astype(jnp.int32)
+    o = 3 * M * S
+    mq = buf[o : o + M].astype(jnp.int32)
+    use_bep = buf[o + M : o + 2 * M] > 0
+    o += 2 * M
+    o += (-o) % 8
+    i32 = jax.lax.bitcast_convert_type(
+        buf[o : o + 12 * M].reshape(3 * M, 4), jnp.int32
+    )
+    o += 12 * M
+    dt = t.support.dtype
+    isz = jnp.dtype(dt).itemsize
+    b = jax.lax.bitcast_convert_type(
+        buf[o : o + isz * M].reshape(M, isz), dt
+    )
+    take = i32[2 * M :]
+    valid = jnp.arange(S, dtype=jnp.int32)[None, :] < take[:, None]
+    if consensus:
+        use_bep = jnp.ones_like(use_bep)
+    batch = HcBatch(
+        g=grq[0], r=grq[1], q=grq[2], pang=i32[:M], mq=mq, b=b,
+        node=i32[M : 2 * M], valid=valid, use_bep=use_bep,
+    )
+    A = mapping_scores(batch, t, bep, consensus)
+    d = A - batch.b
+    c = jax.ops.segment_sum(d, batch.node,
+                            num_segments=t.support.shape[0])
+    return batch.b.sum() + c @ t.support
+
+
 def synth_batch(
     n_reads: int,
     read_len: int = 100,
@@ -298,7 +336,10 @@ def score_alignments_device(
     if mesh == "auto":
         from ..parallel.mesh import auto_mesh
 
-        mesh = auto_mesh()
+        mesh = auto_mesh(
+            support_bytes=db.graph.path_support.shape[0]
+            * db.graph.path_support.shape[1] * 8
+        )
     tables = getattr(db, "_device_tables", None)
     if tables is None:
         tables = make_tables_from_db(db, _default_dtype())

@@ -131,15 +131,13 @@ def reconstruct_table(graph, t: AlignmentTable):
 
 
 # ------------------------------------------------------------ batch build
-def hc_batch_from_table(db, t: AlignmentTable,
-                        max_node_len: int = 0, bucket_m: bool = True):
-    """AlignmentTable -> HcBatch, fully vectorized across reads (the
-    columnar twin of haplocart_device.batch_from_alignments — same
-    quirks, one pass)."""
-    import jax.numpy as jnp
-
-    from .haplocart_device import HcBatch
-
+def _batch_arrays(db, t: AlignmentTable, max_node_len: int = 0):
+    """AlignmentTable -> compact numpy batch arrays, fully vectorized
+    across reads (the columnar twin of
+    haplocart_device.batch_from_alignments — same quirks, one pass).
+    Returns None when nothing is mapped, else a dict with
+    g/r/q uint8 [M0, S] (255 = invalid for g/r), mq/use_bep uint8
+    [M0], pang/node/take int32 [M0], b float64 [M0], and S."""
     graph = db.graph
     has = (t.identity > 1e-10) & (t.nmap > 0)
     if not has.all():
@@ -181,14 +179,14 @@ def hc_batch_from_table(db, t: AlignmentTable,
     gpos = g_off[:-1][aln_of_m][:, None] + starts[:, None] + col[None, :]
     in_g = (starts[:, None] + col[None, :]) < g_len[aln_of_m][:, None]
     np.clip(gpos, 0, max(len(g_cat) - 1, 0), out=gpos)
-    g_rows = np.where(v & in_g, g_cat[gpos], 255).astype(np.int32)
+    g_rows = np.where(v & in_g, g_cat[gpos], np.uint8(255))
 
     # read rows: first `take` codes of the reconstructed read from its
     # START (reference quirk), shared across the read's mappings
     rpos = r_off[:-1][aln_of_m][:, None] + col[None, :]
     in_r = col[None, :] < r_len[aln_of_m][:, None]
     np.clip(rpos, 0, max(len(r_cat) - 1, 0), out=rpos)
-    r_rows = np.where(v & in_r, r_cat[rpos], 255).astype(np.int32)
+    r_rows = np.where(v & in_r, r_cat[rpos], np.uint8(255))
 
     # qualities at aligned coordinates over the zero-padded quality
     # array of conceptual length 2L+8, where L is the RECONSTRUCTED
@@ -198,19 +196,22 @@ def hc_batch_from_table(db, t: AlignmentTable,
     qlen_pad = 2 * L_read + 8
     q_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(qlen_pad, out=q_off[1:])
+    # scatter the concatenated quality bytes into the padded layout
+    # (vectorized; a per-read python loop here costs ~10ms/4k reads)
+    qb_cat = np.frombuffer(b"".join(t.quals), dtype=np.uint8)
+    qb_len = np.fromiter(
+        (len(qb) for qb in t.quals), dtype=np.int64, count=n
+    )
     q_cat = np.zeros(int(q_off[-1]), dtype=np.int64)
-    for i, qb in enumerate(t.quals):
-        if qb:
-            a = np.frombuffer(qb, dtype=np.uint8)
-            q_cat[q_off[i] : q_off[i] + len(a)] = a
+    q_cat[AlignmentTable._ranges(q_off[:-1], qb_len)] = qb_cat
     qpos = q_off[:-1][aln_of_m][:, None] + starts[:, None] + col[None, :]
     in_q = (starts[:, None] + col[None, :]) < qlen_pad[aln_of_m][:, None]
     np.clip(qpos, 0, max(len(q_cat) - 1, 0), out=qpos)
-    q_rows = np.where(v & in_q, q_cat[qpos], 0).astype(np.int32)
+    q_rows = np.where(v & in_q, q_cat[qpos], 0).astype(np.uint8)
 
     # unsupported-path penalty per mapping: cumulative log q over
     # [start, start+L) of the padded quality array
-    logq_cat = np.log(qscore[np.clip(q_cat, 0, 99)])
+    logq_cat = np.log(qscore)[np.clip(q_cat, 0, 99)]  # log the 100-LUT
     cum = np.zeros(len(logq_cat) + 1, dtype=np.float64)
     np.cumsum(logq_cat, out=cum[1:])
     Lm = L_read[aln_of_m]
@@ -226,21 +227,44 @@ def hc_batch_from_table(db, t: AlignmentTable,
 
     nidx = (t.m_node - graph.min_id).astype(np.int32)
     pang = db.pangenome_base[nidx].astype(np.int32)
-    mq = np.minimum(t.mq, 99).astype(np.int32)[aln_of_m]
-    # sticky qual>=90 flag per read (`src/update_likelihood.cpp:42`)
-    has_q90 = np.array(
-        [bool(qb) and (np.frombuffer(qb, dtype=np.uint8) >= 90).any()
-         for qb in t.quals],
-        dtype=bool,
+    mq = np.minimum(t.mq, 99).astype(np.uint8)[aln_of_m]
+    # sticky qual>=90 flag per read (`src/update_likelihood.cpp:42`),
+    # as a segment-any over the concatenated quality bytes
+    read_of_q = np.repeat(np.arange(n, dtype=np.int64), qb_len)
+    has_q90 = (
+        np.bincount(read_of_q[qb_cat >= 90], minlength=n) > 0
     )
-    use_bep = has_q90[aln_of_m]
+    use_bep = has_q90[aln_of_m].astype(np.uint8)
 
-    pad = 0
-    if bucket_m:
-        target = 256
-        while target < M:
-            target *= 2
-        pad = target - M
+    return dict(
+        g=g_rows, r=r_rows, q=q_rows, mq=mq, use_bep=use_bep,
+        pang=pang, node=nidx, take=take.astype(np.int32),
+        b=bvec, S=S,
+    )
+
+
+def _bucket_M(m: int) -> int:
+    target = 256
+    while target < m:
+        target *= 2
+    return target
+
+
+def hc_batch_from_table(db, t: AlignmentTable,
+                        max_node_len: int = 0, bucket_m: bool = True):
+    """AlignmentTable -> HcBatch (the per-array device placement used
+    by the sharded mesh path and the parity tests; the single-device
+    production path packs the same arrays into one upload instead —
+    score_table_packed)."""
+    import jax.numpy as jnp
+
+    from .haplocart_device import HcBatch
+
+    a = _batch_arrays(db, t, max_node_len)
+    if a is None:
+        return None
+    M = len(a["b"])
+    pad = (_bucket_M(M) - M) if bucket_m else 0
 
     def _pad(x, fill=0):
         if not pad:
@@ -248,16 +272,54 @@ def hc_batch_from_table(db, t: AlignmentTable,
         shape = (pad,) + x.shape[1:]
         return np.concatenate([x, np.full(shape, fill, x.dtype)])
 
+    S = a["S"]
+    col = np.arange(S, dtype=np.int64)
+    valid = col[None, :] < a["take"][:, None]
     return HcBatch(
-        g=jnp.asarray(_pad(g_rows, 255)),
-        r=jnp.asarray(_pad(r_rows, 255)),
-        q=jnp.asarray(_pad(q_rows)),
-        pang=jnp.asarray(_pad(pang)),
-        mq=jnp.asarray(_pad(mq)),
-        b=jnp.asarray(_pad(bvec)),
-        node=jnp.asarray(_pad(nidx)),
-        valid=jnp.asarray(_pad(v, False)),
-        use_bep=jnp.asarray(_pad(use_bep, False)),
+        g=jnp.asarray(_pad(a["g"], 255).astype(np.int32)),
+        r=jnp.asarray(_pad(a["r"], 255).astype(np.int32)),
+        q=jnp.asarray(_pad(a["q"]).astype(np.int32)),
+        pang=jnp.asarray(_pad(a["pang"])),
+        mq=jnp.asarray(_pad(a["mq"]).astype(np.int32)),
+        b=jnp.asarray(_pad(a["b"])),
+        node=jnp.asarray(_pad(a["node"])),
+        valid=jnp.asarray(_pad(valid, False)),
+        use_bep=jnp.asarray(_pad(a["use_bep"]).astype(bool)),
+    )
+
+
+def pack_batch(a: dict, dtype) -> np.ndarray:
+    """Compact batch arrays -> ONE uint8 buffer (single host->device
+    transfer; on the axon tunnel each separate array costs a round
+    trip, and uint8 g/r/q quarters the payload vs int32 rows). Layout
+    (M = bucketed mapping count, S = a["S"], itemsize = dtype's):
+      [3*M*S] g|r|q uint8, [2*M] mq|use_bep uint8, pad to 8,
+      [12*M] pang|node|take int32 LE, [itemsize*M] b as dtype.
+    Unpacked on device by haplocart_device.score_packed."""
+    M0 = len(a["b"])
+    M = _bucket_M(M0)
+    S = a["S"]
+
+    def padded(x, fill=0):
+        out = np.full((M,) + x.shape[1:], fill, x.dtype)
+        out[:M0] = x
+        return out
+
+    u8 = [
+        padded(a["g"], 255).reshape(-1),
+        padded(a["r"], 255).reshape(-1),
+        padded(a["q"]).reshape(-1),
+        padded(a["mq"]),
+        padded(a["use_bep"]),
+    ]
+    head = np.concatenate(u8)
+    align = (-len(head)) % 8
+    i32 = np.concatenate(
+        [padded(a["pang"]), padded(a["node"]), padded(a["take"])]
+    ).view(np.uint8)
+    b = np.ascontiguousarray(padded(a["b"]).astype(dtype)).view(np.uint8)
+    return np.concatenate(
+        [head, np.zeros(align, np.uint8), i32, b]
     )
 
 
@@ -281,15 +343,36 @@ def score_table_device(
     if mesh == "auto":
         from ..parallel.mesh import auto_mesh
 
-        mesh = auto_mesh()
+        mesh = auto_mesh(
+            support_bytes=db.graph.path_support.shape[0]
+            * db.graph.path_support.shape[1] * 8
+        )
     tables = getattr(db, "_device_tables", None)
     if tables is None:
         tables = make_tables_from_db(db, _default_dtype())
         db._device_tables = tables
+    dt = tables.support.dtype
+    if mesh is None:
+        # single-device production path: pack the whole batch into one
+        # uint8 upload, unpack + score in one jitted dispatch (the
+        # per-array path costs one tunnel round trip per array)
+        from .haplocart_device import score_packed
+
+        a = _batch_arrays(db, t)
+        if a is None:
+            raise RuntimeError("[HaploCart] Error, no reads mapped")
+        buf = pack_batch(a, np.dtype(dt))
+        out = score_packed(
+            buf, tables, jnp.asarray(background_error_prob, dt),
+            M=_bucket_M(len(a["b"])), S=a["S"],
+            consensus=is_consensus_fasta,
+        )
+        out = np.asarray(out, dtype=np.float64)
+        guards.check_finite(out, "haplocart final_vec (columnar)")
+        return out
     batch = hc_batch_from_table(db, t)
     if batch is None:
         raise RuntimeError("[HaploCart] Error, no reads mapped")
-    dt = tables.support.dtype
     batch = batch._replace(b=batch.b.astype(dt))
     if is_consensus_fasta:
         batch = batch._replace(use_bep=jnp.ones_like(batch.use_bep))
