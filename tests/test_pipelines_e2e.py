@@ -274,3 +274,43 @@ def test_columnar_gam_input_matches_object(toy_db_dir, ref):
     assert t.names == [a.name for a in alns]
     got = hc_columnar.score_table_device(db, t)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=0)
+
+
+def test_stream_scoring_matches_oneshot(ref):
+    """score_table_stream (chunked map->dedup->build->score pipeline)
+    == filter_sort_dedup + score_table_device on the same reads, with
+    duplicate reads planted across chunk boundaries (the streaming
+    dedup must keep exactly the one-shot representative set)."""
+    import numpy as np
+
+    from vgan_tpu.graph.synth import build_haplotype_graph, sample_reads
+    from vgan_tpu.io.fastx import read_fasta
+    from vgan_tpu.mapper import batch_map
+    from vgan_tpu.mapper.giraffe import BatchedMapper
+    from vgan_tpu.pipelines import hc_columnar as hcc
+
+    if batch_map.load_native() is None:
+        pytest.skip("native lib unavailable")
+    seqs, _ = read_fasta(str(ref / "test/input_files/rCRS.fa"))
+    graph, _ = build_haplotype_graph(
+        seqs[0][:6000], n_haplotypes=8, n_variants=40, seed=3
+    )
+    import bench as _b  # reuse the bench DB builder
+
+    db = _b._db_from_graph(graph)
+    mapper = BatchedMapper(graph, k=20, w=10)
+    reads = sample_reads(graph, 2, n_reads=220, seed=4)
+    # plant coordinate-duplicates across the chunk=64 boundaries
+    dups = [reads[3], reads[70], reads[130]]
+    reads = reads[:64] + [dups[0]] + reads[64:128] + dups + reads[128:]
+
+    one = mapper.map_reads_table(reads, chunk=10**9)
+    one = hcc.filter_sort_dedup(one)
+    want = hcc.score_table_device(db, one, mesh=None)
+
+    got, n_kept = hcc.score_table_stream(
+        db, mapper.map_table_chunks(reads, chunk=64)
+    )
+    assert n_kept == one.n
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    assert int(np.argmax(got)) == int(np.argmax(want))

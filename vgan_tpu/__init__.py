@@ -39,4 +39,6 @@ _cache_dir = _os.environ.get(
 if _cache_dir:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    # 1s: on the axon tunnel even small programs cost tens of seconds
+    # to compile remotely, so cache everything non-trivial
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

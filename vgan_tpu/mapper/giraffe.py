@@ -484,22 +484,48 @@ class BatchedMapper(Mapper):
             return batch_map.table_from_alignments(
                 self._map_reads_obj(reads, max_candidates, pad)
             )
+        return batch_map.AlignmentTable.concat(
+            list(self.map_table_chunks(reads, max_candidates, pad, chunk))
+        )
+
+    def map_table_chunks(self, reads, max_candidates: int = 8,
+                         pad: int = 24, chunk: int = 2048,
+                         depth: int = 2):
+        """Generator form of map_reads_table: yields per-chunk
+        AlignmentTables in read order as they finalize, so a consumer
+        (hc_columnar.score_table_stream) can overlap its own host/
+        device work with the next chunk's mapping. Requires the native
+        lib (map_reads_table handles the fallback).
+
+        Up to `depth` chunks stay in flight on the device: each
+        dispatch pays a fixed tunnel round-trip latency, so the deeper
+        queue keeps the device busy while the host seeds the next
+        chunk and finalizes the oldest (the submit is async; collect
+        blocks only on the oldest chunk's download)."""
+        from collections import deque
+
+        from . import batch_map
+
         if len(reads) <= (chunk * 3) // 2:
             br = batch_map.gather_and_score(self, reads, max_candidates,
                                             pad)
-            return batch_map.finalize_table(self, reads, br)
-        tables = []
-        prev = None  # (pending, chunk_reads)
+            yield batch_map.finalize_table(self, reads, br)
+            return
+        q = deque()  # (pending, chunk_reads), oldest first
         for i in range(0, len(reads), chunk):
             ch = reads[i : i + chunk]
-            pend = batch_map.gather_submit(self, ch, max_candidates, pad)
-            if prev is not None:
-                br = batch_map.gather_collect(prev[0])
-                tables.append(batch_map.finalize_table(self, prev[1], br))
-            prev = (pend, ch)
-        br = batch_map.gather_collect(prev[0])
-        tables.append(batch_map.finalize_table(self, prev[1], br))
-        return batch_map.AlignmentTable.concat(tables)
+            q.append((batch_map.gather_submit(self, ch, max_candidates,
+                                              pad), ch))
+            if len(q) > depth:
+                pend, rr = q.popleft()
+                yield batch_map.finalize_table(
+                    self, rr, batch_map.gather_collect(pend)
+                )
+        while q:
+            pend, rr = q.popleft()
+            yield batch_map.finalize_table(
+                self, rr, batch_map.gather_collect(pend)
+            )
 
     def _map_reads_obj(self, reads, max_candidates: int = 8, pad: int = 24):
         read_codes, all_cands, scores, best_of = self._gather_candidates(

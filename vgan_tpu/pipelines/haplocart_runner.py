@@ -238,7 +238,30 @@ def run_sample(
                 # (pipelines/hc_columnar.py); parity with the object
                 # path is test-asserted
                 from . import hc_columnar
+                from ..parallel.mesh import auto_mesh
 
+                sup = db.graph.path_support
+                mesh = auto_mesh(
+                    support_bytes=sup.shape[0] * sup.shape[1] * 8
+                )
+                if mesh is None and not (cfg.fq2 or cfg.interleaved):
+                    # single-device: stream chunks straight from the
+                    # mapper into the packed scorer — map host work,
+                    # device SW, dedup, batch build, transfer, and
+                    # scoring all overlap (hc_columnar.score_table_stream)
+                    with PROFILER.stage("map+score", items=len(reads)):
+                        final_vec, n_reads = (
+                            hc_columnar.score_table_stream(
+                                db,
+                                mapper.map_table_chunks(reads),
+                                background_error_prob=(
+                                    cfg.background_error_prob
+                                ),
+                                is_consensus_fasta=is_consensus,
+                            )
+                        )
+                    pred = hc.predict(db, final_vec)
+                    return pred, n_reads, final_vec
                 with PROFILER.stage("map", items=len(reads)):
                     table = mapper.map_reads_table(reads)
                 if cfg.fq2 or cfg.interleaved:
@@ -249,7 +272,7 @@ def run_sample(
                 n_reads = table.n
                 with PROFILER.stage("score", items=n_reads):
                     final_vec = hc_columnar.score_table_device(
-                        db, table,
+                        db, table, mesh=mesh,
                         background_error_prob=cfg.background_error_prob,
                         is_consensus_fasta=is_consensus,
                     )

@@ -323,6 +323,119 @@ def pack_batch(a: dict, dtype) -> np.ndarray:
     )
 
 
+def _dedup_keys(t: AlignmentTable) -> np.ndarray:
+    """Duplicate keys of a mapped-only table as a 1D void array
+    (bytewise-comparable rows): single-end (paired, first node, first
+    off); paired adds the last mapping's coordinate
+    (`src/rmdup.cpp:43-67`) — same fields as filter_sort_dedup."""
+    fn, fo, ln, lo = t.first_positions()
+    paired = t.read_paired.astype(np.int64)
+    keys = np.ascontiguousarray(
+        np.stack(
+            [paired, fn, fo,
+             np.where(t.read_paired, ln, 0),
+             np.where(t.read_paired, lo, 0)], axis=1
+        )
+    )
+    return keys.view(f"V{keys.shape[1] * keys.itemsize}").reshape(-1)
+
+
+def score_table_stream(
+    db,
+    chunks,
+    background_error_prob: float = 1e-4,
+    is_consensus_fasta: bool = False,
+):
+    """Streaming production scorer: consume per-chunk AlignmentTables
+    (mapper.map_table_chunks), filter + dedup + build + dispatch each
+    chunk while the mapper seeds the next and the device scores the
+    previous — the whole map->filter->duprm->score pipeline overlaps
+    (single-device path; final_vec contributions are additive per
+    mapping, accumulated on device, downloaded once).
+
+    Dedup is streamable because filter_sort_dedup's kept set is exactly
+    "first occurrence of each duplicate key in read order": the
+    position sort is stable and reads sharing a key share its sort
+    coordinates, so the sorted-first representative IS the lowest read
+    index (parity-tested against the one-shot path). Returns
+    (final_vec, n_kept_reads)."""
+    import jax.numpy as jnp
+
+    from ..utils import guards
+    from .haplocart_device import (
+        _default_dtype,
+        make_tables_from_db,
+        score_packed,
+    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    tables = getattr(db, "_device_tables", None)
+    if tables is None:
+        tables = make_tables_from_db(db, _default_dtype())
+        db._device_tables = tables
+    dt = tables.support.dtype
+    bep = jnp.asarray(background_error_prob, dt)
+    seen = np.zeros(0, dtype="V40")
+    acc = None
+    n_kept = 0
+
+    # 1-ahead prefetch: the mapper generator advances on a worker
+    # thread (its hot work is GIL-releasing ctypes/numpy), so chunk
+    # i+1's mapping overlaps chunk i's dedup/build/pack on this thread
+    _END = object()
+
+    def _pull(it):
+        return next(it, _END)
+
+    ex = ThreadPoolExecutor(max_workers=1)
+    it = iter(chunks)
+    fut = ex.submit(_pull, it)
+
+    def _iter_prefetched():
+        nonlocal fut
+        while True:
+            table = fut.result()
+            if table is _END:
+                return
+            fut = ex.submit(_pull, it)
+            yield table
+
+    for table in _iter_prefetched():
+        t = table.select(table.identity != 0)
+        if t.n == 0:
+            continue
+        keys = _dedup_keys(t)
+        # within-chunk first occurrence, then drop keys already seen
+        _u, first_idx = np.unique(keys, return_index=True)
+        keep = np.zeros(t.n, dtype=bool)
+        keep[first_idx] = True
+        if len(seen):
+            pos = np.searchsorted(seen, keys)
+            pos = np.minimum(pos, len(seen) - 1)
+            keep &= seen[pos] != keys
+        seen = np.union1d(seen, keys[keep])
+        t = t.select(keep)
+        if t.n == 0:
+            continue
+        n_kept += t.n
+        a = _batch_arrays(db, t)
+        if a is None:
+            continue
+        buf = pack_batch(a, np.dtype(dt))
+        vec = score_packed(
+            buf, tables, bep, M=_bucket_M(len(a["b"])), S=a["S"],
+            consensus=is_consensus_fasta,
+        )
+        acc = vec if acc is None else acc + vec
+    ex.shutdown(wait=False)
+    if acc is None or n_kept == 0:
+        raise RuntimeError("[HaploCart] Error, no reads mapped")
+    out = np.asarray(acc, dtype=np.float64)
+    guards.check_finite(out, "haplocart final_vec (stream)")
+    return out, n_kept
+
+
 def score_table_device(
     db,
     t: AlignmentTable,
