@@ -32,6 +32,7 @@ Also reported:
 
 Prints ONE JSON line.
 """
+import hashlib
 import json
 import os
 import tempfile
@@ -56,9 +57,21 @@ from vgan_tpu.pipelines.haplocart_device import (
 # recorded numbers always come from the full run on the TPU)
 _SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0") or 0))
 N_READS_DEV = 2048 if _SMOKE else 16384
-N_READS_E2E = 400 if _SMOKE else 4000
+N_READS_E2E = 400 if _SMOKE else 16000
+N_READS_REAL = 200 if _SMOKE else 8000
 EUKA_ITERS = 2000 if _SMOKE else 10000
 SOIBEAN_ITERS, SOIBEAN_BURN = (4000, 1000) if _SMOKE else (500_000, 75_000)
+
+# the pinned e2e/oracle workload (VERDICT r2 #7): BOTH the production
+# pipeline and the --precise host oracle run exactly this; the hash is
+# recorded in the JSON so BASELINE.md numbers are comparable run to run
+WORKLOAD = dict(
+    world="rCRS x 32 haplotypes x 120 variants, seed 3",
+    reads=N_READS_E2E, read_seed=0, read_hap=5, mapper_k=31, mapper_w=11,
+)
+WORKLOAD_HASH = hashlib.sha1(
+    json.dumps(WORKLOAD, sort_keys=True).encode()
+).hexdigest()[:12]
 
 
 # ------------------------------------------------------------------ kernels
@@ -254,6 +267,196 @@ def bench_mapping(mapper, reads):
     return len(reads) / dt, mapped / len(reads)
 
 
+# ------------------------------------------------------------ real DB scale
+def bench_haplocart_realdb():
+    """HaploCart e2e + mapping at the REAL DB's shape — 5,179 paths
+    (`src/load.cpp:284-292`) over the full rCRS, 600 variant sites —
+    mapping cost grows with path count (seeding hits every
+    near-identical haplotype), so toy-world numbers don't transfer
+    (VERDICT r2 #2)."""
+    from vgan_tpu.graph.synth import build_haplotype_graph, sample_reads
+    from vgan_tpu.io import fastx
+    from vgan_tpu.mapper.giraffe import BatchedMapper
+    from vgan_tpu.pipelines.haplocart_runner import (
+        HaplocartConfig,
+        run_sample,
+    )
+
+    n_haps = 64 if _SMOKE else 5179
+    seqs, _ = fastx.read_fasta("/root/reference/test/input_files/rCRS.fa")
+    graph, _ = build_haplotype_graph(
+        seqs[0], n_haplotypes=n_haps, n_variants=600, seed=3
+    )
+    db = _db_from_graph(graph)
+    mapper = BatchedMapper(graph, k=31, w=11)
+    reads = sample_reads(graph, 5, n_reads=N_READS_REAL, seed=0)
+    fd, fq = tempfile.mkstemp(suffix=".fq")
+    with os.fdopen(fd, "w") as f:
+        for r in reads:
+            qual = bytes(q + 33 for q in r.qual).decode()
+            f.write(f"@{r.name}\n{r.seq}\n+\n{qual}\n")
+    try:
+        cfg = HaplocartConfig(db_dir="", fq1=fq, quiet=True)
+        run_sample(cfg, db, mapper, "warm")
+        t0 = time.perf_counter()
+        run_sample(cfg, db, mapper, "bench")
+        e2e_rps = len(reads) / (time.perf_counter() - t0)
+    finally:
+        os.unlink(fq)
+    t0 = time.perf_counter()
+    out = mapper.map_reads_table(reads)
+    map_rps = len(reads) / (time.perf_counter() - t0)
+    assert int((out.identity != 0).sum()) == len(reads)
+    return e2e_rps, map_rps, n_haps
+
+
+def bench_euka_realdb():
+    """euka e2e at the real clade-table width: 334 taxa
+    (`src/MCMC.cpp:1193`'s 1/334), 21 bins/taxon
+    (`src/Euka.cpp:602-608`), one ~5kb path per taxon."""
+    from vgan_tpu.graph.packed import PackedGraph
+    from vgan_tpu.graph.synth import sample_reads
+    from vgan_tpu.mapper.giraffe import BatchedMapper
+    from vgan_tpu.pipelines import euka as ek
+
+    n_taxa = 8 if _SMOKE else 334
+    bp_per = 1024 if _SMOKE else 5120
+    node_len = 16
+    rng = np.random.default_rng(0)
+    per = bp_per // node_len
+    n_nodes = per * n_taxa
+    pool = rng.integers(0, 4, size=n_nodes * node_len,
+                        dtype=np.int64).astype(np.uint8)
+    node_off = np.arange(n_nodes + 1, dtype=np.int64) * node_len
+    steps = [
+        np.arange(i * per, (i + 1) * per, dtype=np.int32)
+        for i in range(n_taxa)
+    ]
+    support = np.zeros((n_nodes, n_taxa), dtype=bool)
+    for j, s in enumerate(steps):
+        support[s, j] = True
+    graph = PackedGraph(
+        min_id=1,
+        node_seq_pool=pool,
+        node_off=node_off,
+        edge_from=np.arange(n_nodes - 1, dtype=np.int32),
+        edge_from_rev=np.zeros(n_nodes - 1, dtype=bool),
+        edge_to=np.arange(1, n_nodes, dtype=np.int32),
+        edge_to_rev=np.zeros(n_nodes - 1, dtype=bool),
+        path_names=[f"taxon{i}" for i in range(n_taxa)],
+        path_steps_node=steps,
+        path_steps_rev=[np.zeros(len(s), dtype=bool) for s in steps],
+        path_support=support,
+    )
+    clades = []
+    chunks = []
+    for i in range(n_taxa):
+        lo = 1 + i * per
+        hi = i * per + per
+        clades.append(ek.CladeInfo(
+            id=i, name=f"taxon{i}", dist=0.05, n_paths=1,
+            start_node=lo, end_node=hi,
+        ))
+        bounds = np.linspace(lo, hi, 22).astype(int)
+        chunks.append(
+            [(int(bounds[j]), int(bounds[j + 1]), 1.5) for j in range(21)]
+            + [(lo, hi, 0.5)]
+        )
+    mapper = BatchedMapper(graph, k=20, w=10)
+    scorer = ek.EukaScorer(graph, clades, chunks)
+    reads = []
+    n_src = min(n_taxa, 24)
+    per_src = max(N_READS_REAL // n_src, 4)
+    for i in range(n_src):
+        reads.extend(sample_reads(graph, i * (n_taxa // n_src),
+                                  n_reads=per_src, seed=i))
+
+    def run():
+        table = mapper.map_reads_table(reads)
+        return scorer.score_table(table, min_mq=0, min_frag=1,
+                                  min_bins=1, max_bins=21)
+
+    run()  # warm
+    t0 = time.perf_counter()
+    res = run()
+    dt = time.perf_counter() - t0
+    assert int(res.counts.sum()) > 0
+    return len(reads) / dt, n_taxa
+
+
+def bench_soibean_e2e():
+    """soibean e2e: map -> columnar precompute (analyse_table) ->
+    4-chain tree MCMC at reference defaults (500k iters,
+    `src/soibean.cpp:224-226`) on a 4-species world."""
+    from vgan_tpu.graph.synth import build_haplotype_graph, sample_reads
+    from vgan_tpu.io import fastx
+    from vgan_tpu.mapper.giraffe import BatchedMapper
+    from vgan_tpu.pipelines import soibean as sb
+    from vgan_tpu.pipelines.soibean_runner import run_soibean_inference
+    from vgan_tpu.utils.newick import parse_newick
+
+    seqs, _ = fastx.read_fasta("/root/reference/test/input_files/rCRS.fa")
+    names = ["speciesA", "speciesB", "speciesC", "speciesD"]
+    graph, _ = build_haplotype_graph(
+        seqs[0][:4000], n_haplotypes=4, n_variants=40, seed=11,
+        hap_names=names,
+    )
+    for proxy in ["speciesA", "speciesC", "speciesA"]:
+        j = graph.path_names.index(proxy)
+        graph.path_steps_node.append(graph.path_steps_node[j])
+        graph.path_steps_rev.append(graph.path_steps_rev[j])
+    graph.path_names.extend(["N1", "N2", "N3"])
+    support = np.zeros((graph.n_nodes, len(graph.path_names)), dtype=bool)
+    for j, sn in enumerate(graph.path_steps_node):
+        support[sn, j] = True
+    graph.path_support = support
+    tree = parse_newick(
+        "((speciesA:0.2,speciesB:0.25)N1:0.3,"
+        "(speciesC:0.22,speciesD:0.18)N2:0.28)N3;"
+    )
+    mapper = BatchedMapper(graph, k=20, w=10)
+    n_reads = 200 if _SMOKE else 2000
+    reads = sample_reads(graph, 1, n_reads=n_reads, seed=1)
+    freqs = sb.make_freqs(0.25, 0.25, 0.25, 0.25)
+
+    def run(tag):
+        table = mapper.map_reads_table(reads)
+        stats = sb.analyse_table(graph, table)
+        run_soibean_inference(
+            tree, stats, graph.path_names, freqs, tag,
+            n_iter=SOIBEAN_ITERS, burnin=SOIBEAN_BURN, chains=4,
+            specified_k=1, write_files=False,
+        )
+
+    run("warm")
+    t0 = time.perf_counter()
+    run("bench")
+    return len(reads) / (time.perf_counter() - t0)
+
+
+def bench_keelime_e2e(graph, mapper, reads):
+    """keelime e2e on the bench world: map -> GAM analysis (5-state
+    damage probs) -> OLC assembly -> consensus
+    (`src/assembly.cpp:3837-4550` path)."""
+    from vgan_tpu.pipelines import keelime
+
+    sub = reads[: (100 if _SMOKE else 1500)]
+
+    def run():
+        alignments = mapper.map_reads(sub)
+        frags = keelime.analyse_gam(graph, alignments)
+        contigs = keelime.assemble(graph, frags)
+        cons, scoring, counts, empty = keelime.consensus(graph, contigs)
+        return cons
+
+    run()  # warm
+    t0 = time.perf_counter()
+    cons = run()
+    dt = time.perf_counter() - t0
+    assert len(cons) > 0
+    return len(sub) / dt
+
+
 # ------------------------------------------------------------------ MCMC
 def bench_euka_mcmc():
     """Abundance MCMC at reference defaults: 10k iters
@@ -336,10 +539,18 @@ def main():
     _note("e2e world")
     graph = _bench_world()
     e2e_rps, host_rps, e2e_agree, mapper, reads = bench_haplocart_e2e(graph)
-    _note("euka e2e")
+    _note("euka e2e (toy)")
     euka_rps = bench_euka_e2e(graph, mapper, reads)
     _note("mapping")
     map_rps, map_rate = bench_mapping(mapper, reads)
+    _note("keelime e2e")
+    keelime_rps = bench_keelime_e2e(graph, mapper, reads)
+    _note("soibean e2e")
+    soibean_rps = bench_soibean_e2e()
+    _note("haplocart real-DB scale")
+    hc_real_rps, map_real_rps, n_haps = bench_haplocart_realdb()
+    _note("euka real-DB scale")
+    euka_real_rps, n_taxa = bench_euka_realdb()
 
     result = {
         "metric": "haplocart_e2e_reads_per_s",
@@ -347,13 +558,22 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(e2e_rps / host_rps, 2),
         "host_oracle_e2e_reads_per_s": round(host_rps, 1),
+        "workload": WORKLOAD_HASH,
         "argmax_agrees": bool(e2e_agree),
         "mapping_reads_per_s": round(map_rps, 1),
         "mapping_rate": round(map_rate, 4),
+        # real-DB-scale shapes (VERDICT r2 #2)
+        "hc_realdb_e2e_reads_per_s": round(hc_real_rps, 1),
+        "hc_realdb_mapping_reads_per_s": round(map_real_rps, 1),
+        "hc_realdb_paths": n_haps,
+        "euka_realdb_e2e_reads_per_s": round(euka_real_rps, 1),
+        "euka_realdb_taxa": n_taxa,
         "haplocart_device_reads_per_s": round(dev_rps, 1),
         "device_vs_numpy": round(dev_rps / dev_cpu_rps, 2),
         "device_argmax_agrees": bool(dev_agree),
         "euka_e2e_reads_per_s": round(euka_rps, 1),
+        "soibean_e2e_reads_per_s": round(soibean_rps, 1),
+        "keelime_e2e_reads_per_s": round(keelime_rps, 1),
         "euka_mcmc_iters_per_s": round(euka_ips, 1),
         "soibean_mcmc_iters_per_s": round(soibean_ips, 1),
         "sw_kernel_gcups": round(gcups, 2),
