@@ -281,13 +281,20 @@ def cmd_euka(args: List[str]) -> int:
     dm = DamageModel.from_profiles(deam5p or None, deam3p or None)
     from .utils.profiling import PROFILER
 
+    from .parallel import multihost
+
     if gamfile:
         with PROFILER.stage("read_gam"):
             alignments = gamio.read_gam(gamfile)
+        if multihost.active():
+            # rank-sharded alignments; accumulators psum after scoring
+            alignments = multihost.shard_reads(alignments)
     else:
         mapper = Mapper(graph, k=k, w=w, safari=safari)
         reads = fastx.read_fastq(fq1)
         r2 = fastx.read_fastq(fq2) if fq2 else []
+        if multihost.active() and not (r2 or interleaved):
+            reads = multihost.shard_reads(reads)
         from .mapper.batch_map import load_native
 
         table = None
@@ -325,6 +332,13 @@ def cmd_euka(args: List[str]) -> int:
                 min_bins=min_bins, max_bins=max_bins,
                 entropy_threshold=entropy,
             )
+    if multihost.active():
+        # global accumulators: counters/coverage/baseshift psum across
+        # ranks, per-read lists concatenate, detection re-runs
+        res = multihost.merge_euka_results(
+            res, min_frag=min_frag, min_bins=min_bins, max_bins=max_bins,
+            entropy_threshold=entropy,
+        )
     if out_group:
         names = [c.name for c in clades]
         if out_group not in names:
@@ -339,7 +353,8 @@ def cmd_euka(args: List[str]) -> int:
             if run_mcmc_flag
             else None
         )
-    write_outputs(res, out, mcmc, length_to_prof=ltp, out_frag=out_frag)
+    if not multihost.active() or multihost.is_host0():
+        write_outputs(res, out, mcmc, length_to_prof=ltp, out_frag=out_frag)
     PROFILER.report()
     return 0
 

@@ -32,7 +32,10 @@ from ..pipelines.haplocart_device import HcBatch, HcTables, mapping_scores
 
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
               tp: int = 1) -> Mesh:
-    devs = jax.devices()
+    # local devices only: cross-process parallelism is rank-sharded
+    # reads + host-side merges (parallel/multihost.py); a mesh spanning
+    # other processes' devices would make outputs non-addressable here
+    devs = jax.local_devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     if dp is None:
@@ -70,7 +73,7 @@ def auto_mesh(support_bytes: int = 0) -> Optional[Mesh]:
     the remaining dp ways. Callers that pass nothing (euka's scorer
     flattens (dp, tp) into one data axis) always get the dp-major
     mesh."""
-    n = len(jax.devices())
+    n = len(jax.local_devices())
     if _DEVICE_LIMIT is not None:
         n = min(n, _DEVICE_LIMIT)
     if n <= 1:

@@ -92,6 +92,85 @@ def global_mesh():
     return Mesh(np.array(jax.devices()), ("dp",))
 
 
+def allgather_objects(obj):
+    """Gather one picklable object per process; every process receives
+    the rank-ordered list. Two-phase allgather (sizes, then padded
+    bytes) over the global runtime — the comm-backend primitive the
+    per-pipeline merges build on (SURVEY §2.9)."""
+    import pickle
+
+    from jax.experimental import multihost_utils as mhu
+
+    if not active() or process_count() == 1:
+        return [obj]
+    data = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    sizes = mhu.process_allgather(
+        np.array([len(data)], dtype=np.int64)
+    ).reshape(-1)
+    mx = int(sizes.max())
+    pad = np.zeros(mx, dtype=np.uint8)
+    pad[: len(data)] = data
+    gathered = np.asarray(mhu.process_allgather(pad)).reshape(-1, mx)
+    return [
+        pickle.loads(gathered[i, : sizes[i]].tobytes())
+        for i in range(len(sizes))
+    ]
+
+
+def merge_euka_results(res, min_frag: int, min_bins: int, max_bins: int,
+                       entropy_threshold: float):
+    """Merge per-process EukaResults into the global one: counters,
+    bin coverage and baseshift profiles SUM across ranks; the per-read
+    lists (clade likelihoods, insert sizes, fragment names) concatenate
+    in rank order (= global read order, shard_reads slices
+    contiguously); detection re-runs on the merged accumulators
+    (euka.detect_clades — the `src/Euka.cpp:625-633` filter must see
+    global coverage). Every process returns the same merged result;
+    host 0 does the writing."""
+    from ..pipelines.euka import EukaResult, detect_clades
+
+    parts = allgather_objects(
+        dict(
+            counts=res.counts, n_mapped=res.n_mapped,
+            baseshift=res.baseshift, coverage=res.coverage,
+            clade_like=res.clade_like, insert_sizes=res.insert_sizes,
+            frag_names=res.frag_names,
+        )
+    )
+    if len(parts) == 1:
+        return res
+    nC = len(res.clades)
+    counts = np.sum([p["counts"] for p in parts], axis=0)
+    n_mapped = np.sum([p["n_mapped"] for p in parts], axis=0)
+    baseshift = np.sum([p["baseshift"] for p in parts], axis=0)
+    coverage = [
+        [
+            float(sum(p["coverage"][i][j] for p in parts))
+            for j in range(len(res.chunks[i]))
+        ]
+        for i in range(nC)
+    ]
+    clade_like = [
+        [x for p in parts for x in p["clade_like"][i]] for i in range(nC)
+    ]
+    insert_sizes = [
+        [x for p in parts for x in p["insert_sizes"][i]] for i in range(nC)
+    ]
+    frag_names = [
+        [x for p in parts for x in p["frag_names"][i]] for i in range(nC)
+    ]
+    detected = detect_clades(
+        res.chunks, coverage, counts, min_frag, min_bins, max_bins,
+        entropy_threshold,
+    )
+    return EukaResult(
+        clades=res.clades, chunks=res.chunks, coverage=coverage,
+        counts=counts, n_mapped=n_mapped, clade_like=clade_like,
+        insert_sizes=insert_sizes, frag_names=frag_names,
+        baseshift=baseshift, detected=detected,
+    )
+
+
 def score_alignments_multihost(db, local_alignments, bep: float = 1e-4,
                                is_consensus_fasta: bool = False):
     """HaploCart scorer with the mapping axis sharded across ALL hosts:

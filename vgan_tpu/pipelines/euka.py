@@ -214,6 +214,38 @@ class EukaResult:
     detected: List[int] = field(default_factory=list)
 
 
+def detect_clades(
+    chunks,
+    coverage,
+    counts,
+    min_frag: int,
+    min_bins: int,
+    max_bins: int,
+    entropy_threshold: float,
+) -> List[int]:
+    """Detection filter (`src/Euka.cpp:625-633`): a clade is detected
+    when enough high-entropy bins are covered (int-truncation quirk
+    preserved) and its filtered read count reaches min_frag. Shared by
+    the object/columnar scorers and the multi-host merge (which must
+    re-run detection on the globally summed accumulators)."""
+    detected: List[int] = []
+    for i in range(len(chunks)):
+        qualified = [
+            int(coverage[i][k])
+            for k in range(len(chunks[i]) - 1)
+            if chunks[i][k][2] > entropy_threshold
+        ]
+        n_zero = sum(1 for v in qualified if v == 0)
+        if (
+            n_zero > max_bins
+            or len(qualified) < min_bins
+            or counts[i] < min_frag
+        ):
+            continue
+        detected.append(i)
+    return detected
+
+
 def assign_clade(chunks, first_node: int) -> Tuple[int, float]:
     """Bin lookup by first node id; LAST matching clade wins and the
     default is clade 0 (`src/readGAM_Euka.h:115-140`)."""
@@ -334,22 +366,10 @@ class EukaScorer:
                             if lo <= nid <= hi:
                                 coverage[c_n][j] += 1.0 / n_mappings
 
-        # detection filter (`src/Euka.cpp:625-633`)
-        detected: List[int] = []
-        for i in range(nC):
-            qualified = [
-                int(coverage[i][k])  # int truncation quirk
-                for k in range(len(self.chunks[i]) - 1)
-                if self.chunks[i][k][2] > entropy_threshold
-            ]
-            n_zero = sum(1 for v in qualified if v == 0)
-            if (
-                n_zero > max_bins
-                or len(qualified) < min_bins
-                or counts[i] < min_frag
-            ):
-                continue
-            detected.append(i)
+        detected = detect_clades(
+            self.chunks, coverage, counts, min_frag, min_bins, max_bins,
+            entropy_threshold,
+        )
 
         return EukaResult(
             clades=self.clades,
@@ -517,21 +537,10 @@ class EukaScorer:
                 for j in range(len(ch)):
                     coverage[c][j] += float(contrib[j])
 
-        detected: List[int] = []
-        for i in range(nC):
-            qualified = [
-                int(coverage[i][k])
-                for k in range(len(self.chunks[i]) - 1)
-                if self.chunks[i][k][2] > entropy_threshold
-            ]
-            n_zero = sum(1 for v in qualified if v == 0)
-            if (
-                n_zero > max_bins
-                or len(qualified) < min_bins
-                or counts[i] < min_frag
-            ):
-                continue
-            detected.append(i)
+        detected = detect_clades(
+            self.chunks, coverage, counts, min_frag, min_bins, max_bins,
+            entropy_threshold,
+        )
         return EukaResult(
             clades=self.clades, chunks=self.chunks, coverage=coverage,
             counts=counts, n_mapped=n_mapped_v, clade_like=clade_like,

@@ -30,6 +30,32 @@ class ChainSummary:
     pos_mean: List[float]
     pos_var: List[float]
     max_loglike: float
+    # formatted rows for the shared ProportionEstimates/BranchEstimate
+    # files (multi-host: host 0 writes them in chain order)
+    est_lines: List[str] = None
+    branch_lines: List[str] = None
+
+
+def _append_shared_estimates(out_prefix, k, est_lines, branch_lines):
+    """Append one chain's rows to the shared per-k estimate files
+    (header once)."""
+    import os
+
+    eh = ("Source\tChain\tMean Proportion Estimate\t5% CI\tMedian "
+          "Proportion Estimate\t95% CI\tEffective Sample Size\t"
+          "Autocorrelation\tVariance\n")
+    bh = ("Source\tChain\tMean Branch Position\t5% CI\tMedian Branch "
+          "Position\t95% CI\tEffective Sample Size\tAutocorrelation\t"
+          "Variance\tEffective Sample Size for the source estimation\n")
+    for path, header, lines in [
+        (f"{out_prefix}ProportionEstimates{k}.txt", eh, est_lines),
+        (f"{out_prefix}BranchEstimate{k}.txt", bh, branch_lines),
+    ]:
+        new = not os.path.exists(path)
+        with open(path, "a") as f:
+            if new:
+                f.write(header)
+            f.write("\n".join(lines) + "\n")
 
 
 def process_chain(
@@ -39,6 +65,7 @@ def process_chain(
     out_prefix: str,
     chain: int,
     write_files: bool = True,
+    write_shared: bool = True,
 ) -> ChainSummary:
     """processMCMCiterations equivalent (`src/MCMC.cpp:23-147`)."""
     est_lines = []
@@ -74,20 +101,11 @@ def process_chain(
         tvars.append(vt)
         pmeans.append(mp)
         pvars.append(vp)
+    if write_files and write_shared:
+        _append_shared_estimates(out_prefix, k, est_lines, branch_lines)
     if write_files:
         import os
 
-        eh = "Source\tChain\tMean Proportion Estimate\t5% CI\tMedian Proportion Estimate\t95% CI\tEffective Sample Size\tAutocorrelation\tVariance\n"
-        bh = "Source\tChain\tMean Branch Position\t5% CI\tMedian Branch Position\t95% CI\tEffective Sample Size\tAutocorrelation\tVariance\tEffective Sample Size for the source estimation\n"
-        for path, header, lines in [
-            (f"{out_prefix}ProportionEstimates{k}.txt", eh, est_lines),
-            (f"{out_prefix}BranchEstimate{k}.txt", bh, branch_lines),
-        ]:
-            new = not os.path.exists(path)
-            with open(path, "a") as f:
-                if new:
-                    f.write(header)
-                f.write("\n".join(lines) + "\n")
         # detail trace with move markers (state change => accepted;
         # the reference logs proposals pre-accept, `src/MCMC.cpp:1022-1056`)
         with gzip.open(f"{out_prefix}Trace{k}{chain}.detail.mcmc", "wt") as f:
@@ -128,7 +146,8 @@ def process_chain(
                         f"{trace.pos[it, s]:.14g}"
                     )
                 f.write("\t".join(row) + "\n")
-    return ChainSummary(names, tmeans, tvars, pmeans, pvars, max_ll)
+    return ChainSummary(names, tmeans, tvars, pmeans, pvars, max_ll,
+                        est_lines, branch_lines)
 
 
 def run_soibean_inference(
@@ -210,33 +229,64 @@ def run_soibean_inference(
             srcs[0] = np.array(sig_nodes[: i + 1], dtype=np.int32)
         for chain in range(1, chains):
             srcs[chain] = rng.integers(0, tree.n_nodes, size=k)
+        seeds = np.arange(chains) + seed * 1000 + k * 10
+        # multi-host chain parallelism (SURVEY §2.9): every rank draws
+        # the same srcs/seeds (shared seed), runs its round-robin chain
+        # subset, then summaries allgather for the cross-chain R-hat
+        from ..parallel import multihost
+
+        if multihost.active() and multihost.process_count() > 1:
+            nproc = multihost.process_count()
+            pid = multihost.process_id()
+            local_ids = [c for c in range(chains) if c % nproc == pid]
+        else:
+            nproc, pid = 1, 0
+            local_ids = list(range(chains))
         traces = run_tree_mcmc_chains(
             tree,
             path_map_t,
             counts25_t,
-            srcs,
+            srcs[local_ids],
             freqs,
             con=con,
             max_iter=n_iter,
             burn=burnin,
             num_paths=len(path_names),
             init_loglike=init_ll,
-            seeds=np.arange(chains) + seed * 1000 + k * 10,
-            mesh=chain_mesh,
+            seeds=seeds[local_ids],
+            mesh=chain_mesh if nproc == 1 else None,
         )
-        summaries: List[ChainSummary] = []
-        for chain in range(chains):
+        local_summaries: List[tuple] = []
+        for j, chain in enumerate(local_ids):
             trace = type(traces)(
-                node=traces.node[chain],
-                pos=traces.pos[chain],
-                theta=traces.theta[chain],
-                loglike=traces.loglike[chain],
+                node=traces.node[j],
+                pos=traces.pos[j],
+                theta=traces.theta[j],
+                loglike=traces.loglike[j],
             )
-            summaries.append(
-                process_chain(trace, tree, k, out_prefix, chain, write_files)
+            local_summaries.append((
+                chain,
+                process_chain(trace, tree, k, out_prefix, chain,
+                              write_files, write_shared=(nproc == 1)),
+            ))
+        if nproc > 1:
+            gathered = multihost.allgather_objects(local_summaries)
+            pairs = sorted(
+                (p for part in gathered for p in part),
+                key=lambda cs: cs[0],
             )
+            summaries = [s for _c, s in pairs]
+            if write_files and multihost.is_host0():
+                # shared estimate files in chain order (owners wrote
+                # only their per-chain trace files)
+                for s in summaries:
+                    _append_shared_estimates(
+                        out_prefix, k, s.est_lines, s.branch_lines
+                    )
+        else:
+            summaries = [s for _c, s in local_summaries]
         results[k] = summaries
-        if write_files:
+        if write_files and (nproc == 1 or multihost.is_host0()):
             _write_diagnostics(out_prefix, k, summaries, n_iter, burnin)
     return results
 
