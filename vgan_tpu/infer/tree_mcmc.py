@@ -40,6 +40,9 @@ import numpy as np
 # float64 on CPU (reference-parity tests); float32 on TPU — the axon
 # remote compiler's X64-rewriting pass stalls/hangs on the MCMC graph,
 # and MH sampling only needs statistical (not bitwise) precision there.
+# f32-vs-f64 estimate parity is test-asserted (same seeds, theta/pos
+# posterior means within 0.05: tests/test_soibean.py::
+# test_tree_mcmc_f32_matches_f64_estimates).
 # Decided from the configured platform string (NOT default_backend(),
 # which would force backend initialization at import time).
 F = (
