@@ -445,3 +445,86 @@ def test_find_overlaps_device_path(synthetic_world, monkeypatch):
     g_dev, om_dev = kl.find_overlaps(frags, 5, 10, density, False, 5)
     assert om_host == om_dev
     assert [dict(d) for d in g_host.adj] == [dict(d) for d in g_dev.adj]
+
+
+def test_analyse_gam_table_matches_loop(ref):
+    """Columnar analyse_gam_table == per-read/per-base loop on a
+    mixed-strand mapper batch incl. damage: same Frag fields, probs
+    within 1e-12, counts/cut exact (the 5-state probability math is
+    identical, only vectorized)."""
+    import numpy as np
+    import pytest
+
+    from vgan_tpu.graph.synth import build_haplotype_graph, sample_reads
+    from vgan_tpu.io.fastx import read_fasta
+    from vgan_tpu.mapper import batch_map
+    from vgan_tpu.mapper.giraffe import BatchedMapper
+    from vgan_tpu.models.damage import DamageModel
+    from vgan_tpu.pipelines import keelime
+
+    if batch_map.load_native() is None:
+        pytest.skip("native lib unavailable")
+    seqs, _ = read_fasta(str(ref / "test/input_files/rCRS.fa"))
+    graph, _ = build_haplotype_graph(
+        seqs[0][:5000], n_haplotypes=4, n_variants=40, seed=5
+    )
+    mapper = BatchedMapper(graph, k=20, w=10)
+    reads = sample_reads(graph, 1, n_reads=150, seed=2)
+    table = mapper.map_reads_table(reads)
+    alignments = table.to_alignments()
+    dfiles = ref / "share/vgan/damageProfiles"
+    dm = (
+        DamageModel.from_profiles(str(dfiles / "dhigh5p.prof"),
+                                  str(dfiles / "dhigh3p.prof"))
+        if (dfiles / "dhigh5p.prof").exists()
+        else DamageModel.none()
+    )
+    want = keelime.analyse_gam(graph, alignments, damage=dm)
+    got = keelime.analyse_gam_table(graph, table, damage=dm)
+    assert len(got) == len(want)
+    for w, g in zip(want, got):
+        assert g.name == w.name
+        assert g.seq == w.seq
+        assert g.graph_seq == w.graph_seq
+        assert g.node_ids == w.node_ids
+        assert g.offsets == w.offsets
+        assert g.coverage == w.coverage
+        assert g.cut == w.cut
+        np.testing.assert_array_equal(g.counts, w.counts)
+        np.testing.assert_allclose(g.probs, w.probs, rtol=1e-12,
+                                   atol=1e-18)
+
+
+def test_native_window_scan_differential():
+    """cpp/matchwin.cpp early-exit scan == the numpy sliding-matrix
+    oracle (_match_count_windows thresholding) over random + planted
+    near-copy cases across the full RY alphabet."""
+    import numpy as np
+    import pytest
+
+    from vgan_tpu.mapper import batch_map
+    from vgan_tpu.pipelines import keelime as kl
+
+    if batch_map.load_native() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    chars = np.frombuffer(b"ACGTRYNS-", dtype=np.uint8)
+    for trial in range(200):
+        nh = int(rng.integers(30, 400))
+        la = int(rng.integers(5, min(nh, 120)))
+        hay = chars[rng.integers(0, len(chars), nh)]
+        needle = chars[rng.integers(0, len(chars), la)]
+        if trial % 3 == 0:
+            s = int(rng.integers(0, nh - la + 1))
+            hay[s : s + la] = needle
+            if la > 4:
+                hay[s + int(rng.integers(0, la))] = chars[
+                    int(rng.integers(0, 4))
+                ]
+        allowed = int(rng.integers(0, 3))
+        thresh = int(0.98 * la)
+        mc = kl._match_count_windows(hay, needle, allowed)
+        hits = np.flatnonzero(mc >= thresh)
+        want = int(hits[0]) if len(hits) else -1
+        got = kl._window_first_hit(hay, needle, allowed, thresh)
+        assert got == want, (trial, got, want)

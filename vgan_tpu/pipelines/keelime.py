@@ -196,6 +196,166 @@ def _revcomp_str(s: str) -> str:
     return "".join(_RC.get(c, "N") for c in reversed(s))
 
 
+def analyse_gam_table(
+    graph: PackedGraph,
+    table,
+    damage: Optional[DamageModel] = None,
+) -> List[Frag]:
+    """Columnar twin of analyse_gam: C++ batch reconstruction + the
+    whole per-base probs/counts computation as padded [B, Lmax] array
+    passes (the per-read-per-base Python loop below is the oracle,
+    parity-tested in tests/test_keelime.py). Falls back to the loop
+    when the reconstruction contains rare IUPAC graph chars (the code
+    alphabet collapses them, the string path preserves them).
+
+    Returns the same Frag list (src/assembly.cpp:3837-3995)."""
+    from ..mapper.batch_map import AlignmentTable  # noqa: F401
+    from ..utils import dna
+    from .hc_columnar import reconstruct_table
+
+    dm = damage or DamageModel.none()
+    qtab = phred.qscore_vec()
+    seq_lens = np.array([len(s) for s in table.seqs], dtype=np.int64)
+    keep = (
+        (table.identity != 0) & (table.nmap > 0)
+        & (seq_lens > MIN_READ_LEN)
+    )
+    t = table.select(keep)
+    B = t.n
+    if B == 0:
+        return []
+    g_cat, g_off, g_len, r_cat, r_off, r_len, _sz, _so, _sl = (
+        reconstruct_table(graph, t)
+    )
+    if (g_cat[: int(g_off[-1])] == dna.RARE).any() or (
+        r_cat[: int(r_off[-1])] == dna.RARE
+    ).any():
+        return analyse_gam(graph, t.to_alignments(), damage=damage)
+
+    isrev = t.m_rev[t.map_off[:-1]].astype(bool)
+    L = r_len.astype(np.int64)
+    Lmax = max(int(L.max()), 1)
+    col = np.arange(Lmax, dtype=np.int64)
+    valid = col[None, :] < L[:, None]
+    # oriented code matrices: reverse reads read back-to-front with the
+    # string-path complement (rare -> N, matching _revcomp_str's
+    # .get(c, "N") default)
+    idx = np.where(isrev[:, None], L[:, None] - 1 - col[None, :],
+                   col[None, :])
+    np.clip(idx, 0, None, out=idx)
+    comp_rc = np.array(
+        [dna.T, dna.G, dna.C, dna.A, dna.N, dna.GAP, dna.SOFTCLIP,
+         dna.N],
+        dtype=np.uint8,
+    )
+    rpos = np.clip(r_off[:-1][:, None] + idx, 0, max(len(r_cat) - 1, 0))
+    gpos = np.clip(g_off[:-1][:, None] + idx, 0, max(len(g_cat) - 1, 0))
+    rcodes = r_cat[rpos]
+    gcodes = g_cat[gpos]
+    rcodes = np.where(isrev[:, None], comp_rc[rcodes], rcodes)
+    gcodes = np.where(isrev[:, None], comp_rc[gcodes], gcodes)
+
+    # oriented per-base quality: qual[:L] zero-padded, reversed if rev
+    qb_cat = np.frombuffer(b"".join(t.quals), dtype=np.uint8)
+    qb_len = np.fromiter((len(q) for q in t.quals), dtype=np.int64,
+                         count=B)
+    qb_off = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(qb_len, out=qb_off[1:])
+    in_q = (idx < qb_len[:, None]) & valid
+    qidx = np.where(in_q, qb_off[:-1][:, None] + idx, 0)
+    baseq = (
+        np.where(in_q, qb_cat[qidx], 0)
+        if len(qb_cat)
+        else np.zeros((B, Lmax), dtype=np.uint8)
+    )
+
+    # per-base classification (src/assembly.cpp:3907-3960)
+    is_ns = (rcodes == dna.N) | (rcodes == dna.SOFTCLIP)
+    is_gap = ~is_ns & (rcodes == dna.GAP)
+    is_base = ~is_ns & ~is_gap & valid
+    b4 = np.minimum(rcodes, 3).astype(np.int64)
+
+    q = qtab[np.minimum(baseq.astype(np.int64), len(qtab) - 1)]
+    # pre: q/4 everywhere, 1-q at the called base (5-state)
+    pre4 = np.full((B, Lmax, 4), 0.0)
+    pre4[...] = (q / 4.0)[..., None]
+    np.put_along_axis(pre4, b4[..., None], (1.0 - q)[..., None], axis=2)
+    pre_sum = q / 4.0 * 5.0 + (1.0 - q) - q / 4.0  # sum of the 5-vector
+
+    # damage matrices D[b, l] = subDeamDiNuc[Lc][min(s, Lc-1)]
+    # (combineDeamRates row select, src/damage.cpp:18-36)
+    from ..models.damage import MAXLENGTHFRAGMENT
+
+    Lc = np.clip(L, 1, 1000)
+    lpos = np.minimum(col[None, :], (Lc - 1)[:, None])
+    l5 = np.clip(lpos, 0, MAXLENGTHFRAGMENT - 1)
+    l3 = np.clip(Lc[:, None] - lpos - 1, 0, MAXLENGTHFRAGMENT - 1)
+    f5 = dm.sub5p[l5]  # [B, L, 4, 4]
+    f3 = dm.sub3p[l3]
+    d5 = np.einsum("...ii->...i", f5)
+    d3 = np.einsum("...ii->...i", f3)
+    D = np.where((d5 <= d3)[..., None], f5, f3)
+
+    probs = np.zeros((B, Lmax, 5), dtype=np.float64)
+    probs[..., :4] = np.einsum("blo,blod->bld", pre4, D)
+    probs[..., 4] = pre_sum * INDEL_ERROR_PROB
+    sub = np.zeros((B, Lmax, 5), dtype=np.float64)
+    np.put_along_axis(sub, b4[..., None], INDEL_ERROR_PROB, axis=2)
+    probs -= sub
+    # specials overwrite the base-case rows
+    probs = np.where(is_ns[..., None], 0.20, probs)
+    gap_row = np.concatenate(
+        [np.full(4, INDEL_ERROR_PROB / 4), [1.0 - INDEL_ERROR_PROB]]
+    )
+    probs = np.where(is_gap[..., None], gap_row, probs)
+    probs = np.where(valid[..., None], probs, 0.0)
+
+    counts = np.zeros((B, Lmax, 5), dtype=np.int64)
+    np.put_along_axis(counts, b4[..., None], 1, axis=2)
+    counts = np.where(is_base[..., None], counts, 0)
+    gapc = np.zeros(5, dtype=np.int64)
+    gapc[4] = 1
+    counts = np.where(is_gap[..., None], gapc, counts)
+
+    # cutbool: >= 3 oriented-graph "-NS" chars; direction from the
+    # PRE-orientation graph string's first char (src/assembly.cpp:3983)
+    g_ns = valid & (
+        (gcodes == dna.GAP) | (gcodes == dna.N)
+        | (gcodes == dna.SOFTCLIP)
+    )
+    n_bad = g_ns.sum(axis=1)
+    first_g = g_cat[np.minimum(g_off[:-1], max(len(g_cat) - 1, 0))]
+    cut_dir = np.where(first_g == dna.GAP, 1, 2)
+
+    # per-mapping node/offset/coverage columns
+    e_from_cum = np.zeros(len(t.e_from) + 1, dtype=np.int64)
+    np.cumsum(t.e_from, out=e_from_cum[1:])
+    cov_m = e_from_cum[t.e_off[1:]] - e_from_cum[t.e_off[:-1]]
+
+    cd = dna._CODE2CHAR
+    frags: List[Frag] = []
+    for i in range(B):
+        li = int(L[i])
+        seq = cd[rcodes[i, :li]].tobytes().decode()
+        gseq = cd[gcodes[i, :li]].tobytes().decode()
+        m0, m1 = int(t.map_off[i]), int(t.map_off[i + 1])
+        node_ids = t.m_node[m0:m1].tolist()
+        offsets = t.m_off[m0:m1].astype(np.int64).tolist()
+        cov = cov_m[m0:m1].astype(np.int64).tolist()
+        if isrev[i]:
+            node_ids.reverse()
+            offsets.reverse()
+            cov.reverse()
+        cut = (
+            (True, int(cut_dir[i])) if n_bad[i] >= 3 else (False, 0)
+        )
+        frags.append(
+            Frag(t.names[i], seq, gseq, node_ids, offsets, cov,
+                 probs[i, :li].copy(), counts[i, :li].copy(), cut)
+        )
+    return frags
+
+
 def analyse_gam(
     graph: PackedGraph,
     alignments: Sequence[Alignment],
@@ -380,16 +540,41 @@ def overlap_score(
                 smax = sc[ok].max()
                 if lb > best_len or (lb == best_len and smax > best_score):
                     best_len, best_score = lb, float(smax)
-    # tail block: olen shrinks below lb
+    # tail block: olen shrinks below lb. Tail olens are distinct
+    # (olen = la - start), so the per-start scan collapses to "largest
+    # qualifying olen" — one masked sliding-window pass per chunk.
     t0 = max(0, n_full)
-    for start in range(t0, la - min_olen + 1):
-        olen = la - start
-        if olen >= lb:
-            continue
-        sc = float(_COMBINED[aa[start:], bb[:olen]].sum())
-        if sc >= min_score and olen >= min_olen:
-            if olen > best_len or (olen == best_len and sc > best_score):
-                best_len, best_score = olen, sc
+    hi = la - min_olen + 1
+    if t0 < hi:
+        starts = np.arange(t0, hi, dtype=np.int64)
+        olens = la - starts
+        keep = olens < lb
+        starts, olens = starts[keep], olens[keep]
+        if len(starts):
+            Lb = int(olens.max())
+            pad_a = np.concatenate(
+                [aa, np.zeros(Lb, dtype=aa.dtype)]
+            )
+            col = np.arange(Lb, dtype=np.int64)
+            step = max(1, min(len(starts), (1 << 22) // max(Lb, 1)))
+            for s0 in range(0, len(starts), step):
+                s1 = min(len(starts), s0 + step)
+                st = starts[s0:s1]
+                ol = olens[s0:s1]
+                w = np.lib.stride_tricks.sliding_window_view(
+                    pad_a[st[0] : st[-1] + Lb], Lb
+                )
+                scm = _COMBINED[w, bb[:Lb]]
+                mask = col[None, :] < ol[:, None]
+                sc = (scm * mask).sum(axis=1)
+                ok = (sc >= min_score) & (ol >= min_olen)
+                if ok.any():
+                    i = int(np.flatnonzero(ok)[0])  # largest olen first
+                    if ol[i] > best_len or (
+                        ol[i] == best_len and sc[i] > best_score
+                    ):
+                        best_len, best_score = int(ol[i]), float(sc[i])
+                    break  # later chunks only have smaller olens
     return best_len, best_score
 
 
@@ -419,6 +604,54 @@ def _match_count_windows(
     return out
 
 
+_RYMATCH_U8 = None
+
+
+def _window_first_hit(hay: np.ndarray, needle: np.ndarray,
+                      allowed: int, thresh: int) -> int:
+    """First window start whose effective RY-match count reaches
+    thresh, -1 if none. Native early-exit scan (cpp/matchwin.cpp) with
+    the numpy sliding-matrix pass as fallback/oracle — the counts are
+    the _match_count_windows semantics exactly."""
+    global _RYMATCH_U8
+    from ..mapper.batch_map import load_native
+
+    lib = load_native()
+    if lib is None:
+        mc = _match_count_windows(hay, needle, allowed)
+        hits = np.flatnonzero(mc >= thresh)
+        return int(hits[0]) if len(hits) else -1
+    import ctypes
+
+    if not getattr(lib, "_matchwin_ready", False):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.ry_window_hits.restype = ctypes.c_int64
+        lib.ry_window_hits.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64, u8p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            i64p, ctypes.c_int64,
+        ]
+        lib._matchwin_ready = True
+    if _RYMATCH_U8 is None:
+        _RYMATCH_U8 = np.ascontiguousarray(
+            _RYMATCH.astype(np.uint8).reshape(-1)
+        )
+    hay = np.ascontiguousarray(hay, dtype=np.uint8)
+    needle = np.ascontiguousarray(needle, dtype=np.uint8)
+    out = np.zeros(1, dtype=np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = lib.ry_window_hits(
+        hay.ctypes.data_as(u8p), len(hay),
+        needle.ctypes.data_as(u8p), len(needle),
+        _RYMATCH_U8.ctypes.data_as(u8p),
+        allowed, max(thresh, 0), 1,
+        out.ctypes.data_as(i64p), 1,
+    )
+    return int(out[0]) if n > 0 else -1
+
+
 def is_subset(
     a_seq: str, a_ids: Sequence[int], b_seq: str, b_ids: Sequence[int],
     allowed: int = 1,
@@ -430,8 +663,8 @@ def is_subset(
     if a_ids and all(i in bset for i in a_ids):
         return True
     thresh = int(SIMILARITY * len(a_seq))
-    mc = _match_count_windows(_enc(b_seq), _enc(a_seq), allowed)
-    return bool((mc >= thresh).any())
+    return _window_first_hit(_enc(b_seq), _enc(a_seq), allowed,
+                             thresh) >= 0
 
 
 def find_alignment_position(contig: str, read: str, allowed: int) -> int:
@@ -439,9 +672,7 @@ def find_alignment_position(contig: str, read: str, allowed: int) -> int:
     if len(read) > len(contig):
         return -1
     thresh = int(SIMILARITY * len(read))
-    mc = _match_count_windows(_enc(contig), _enc(read), allowed)
-    hits = np.flatnonzero(mc >= thresh)
-    return int(hits[0]) if len(hits) else -1
+    return _window_first_hit(_enc(contig), _enc(read), allowed, thresh)
 
 
 def find_match(contig: str, node_seq: str, from_start: bool) -> int:
@@ -1483,9 +1714,16 @@ def main_keelime(args: List[str]) -> int:
         damage = DamageModel.from_profiles(deam5p or None, deam3p or None)
     from ..utils.profiling import PROFILER
 
+    from ..mapper.batch_map import load_native, table_from_gam
+
+    table = alignments = None
+    columnar = load_native() is not None
     if gamfile:
         with PROFILER.stage("read_gam"):
-            alignments = gamio.read_gam(gamfile)
+            if columnar:
+                table = table_from_gam(gamfile)
+            if table is None:
+                alignments = gamio.read_gam(gamfile)
     else:
         mapper = Mapper(graph)
         reads = fastx.read_fastq(fq1)
@@ -1493,10 +1731,16 @@ def main_keelime(args: List[str]) -> int:
         with PROFILER.stage("map", items=len(reads) + len(r2)):
             if r2 and len(r2) == len(reads):
                 alignments = mapper.map_read_pairs(reads, r2)
+            elif columnar:
+                table = mapper.map_reads_table(reads + r2)
             else:
                 alignments = mapper.map_reads(reads + r2)
-    with PROFILER.stage("analyse", items=len(alignments)):
-        frags = analyse_gam(graph, alignments, damage=damage)
+    n_in = table.n if table is not None else len(alignments)
+    with PROFILER.stage("analyse", items=n_in):
+        if table is not None:
+            frags = analyse_gam_table(graph, table, damage=damage)
+        else:
+            frags = analyse_gam(graph, alignments, damage=damage)
     with PROFILER.stage("assemble", items=len(frags)):
         contigs = assemble(
             graph, frags, ref_path=ref_path, len_min=len_min,
