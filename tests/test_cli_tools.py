@@ -165,3 +165,79 @@ def test_thread_flag_contract():
     assert _check_threads("-1", "HaploCart") == avail
     assert _check_threads("1", "HaploCart") == 1
     assert _check_threads("424242", "HaploCart") == avail
+
+
+def test_vcf2fasta(tmp_path, capsys):
+    """vcf2fasta parity with share/vgan/hc_scripts/vcf2fasta.py: SNV +
+    insertion + deletion applied in file order, sample-ID header,
+    heterozygous abort, REF-mismatch abort."""
+    from vgan_tpu.db.vcf2fasta import add_variants_to_fasta
+
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">chrM extra description\nACGTACGTACGT\n>other\nTTTT\n")
+
+    def vcf(body):
+        p = tmp_path / "v.vcf"
+        p.write_text(
+            "##fileformat=VCFv4.2\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+            + body
+        )
+        return str(p)
+
+    import io
+
+    # SNV at 2, insertion at 5, deletion at 9 (haploid GT)
+    out, err = io.StringIO(), io.StringIO()
+    rc = add_variants_to_fasta(
+        vcf(
+            "chrM\t2\t.\tC\tG\t.\t.\t.\tGT\t1\n"
+            "chrM\t5\t.\tA\tATT\t.\t.\t.\tGT\t1\n"
+            "chrM\t9\t.\tAC\tA\t.\t.\t.\tGT\t1\n"
+        ),
+        str(fa), "chrM", out=out, err=err,
+    )
+    assert rc == 0
+    lines = out.getvalue().splitlines()
+    assert lines[0] == ">S1"
+    # file-order splices on the mutating string, unshifted coords
+    # (the reference script's behavior): ACGTACGTACGT -> AGGTACGTACGT
+    # -> AGGTATTCGTACGT -> AGGTATTCAGTACGT... replaying by hand:
+    s = "ACGTACGTACGT"
+    s = s[:1] + "G" + s[2:]
+    s = s[:4] + "ATT" + s[5:]
+    s = s[:8] + "A" + s[10:]
+    assert lines[1] == s
+    assert err.getvalue().count("Warning: Variant added") == 3
+
+    # heterozygous -> reference error text
+    out, err = io.StringIO(), io.StringIO()
+    rc = add_variants_to_fasta(
+        vcf("chrM\t2\t.\tC\tG\t.\t.\t.\tGT\t0/1\n"),
+        str(fa), "chrM", out=out, err=err,
+    )
+    assert rc == 1 and "Unexpected genotype" in err.getvalue()
+
+    # REF mismatch -> abort
+    out, err = io.StringIO(), io.StringIO()
+    rc = add_variants_to_fasta(
+        vcf("chrM\t2\t.\tT\tG\t.\t.\t.\tGT\t1\n"),
+        str(fa), "chrM", out=out, err=err,
+    )
+    assert rc == 1 and "do not match" in err.getvalue()
+
+    # no records on chromosome
+    out, err = io.StringIO(), io.StringIO()
+    rc = add_variants_to_fasta(
+        vcf("chr1\t2\t.\tC\tG\t.\t.\t.\tGT\t1\n"),
+        str(fa), "chrM", out=out, err=err,
+    )
+    assert rc == 1 and "no variants" in err.getvalue()
+
+    # CLI surface
+    from vgan_tpu import cli
+
+    vp = vcf("chrM\t2\t.\tC\tG\t.\t.\t.\tGT\t1\n")
+    rc = cli.main(["vcf2fasta", vp, str(fa), "chrM"])
+    assert rc == 0
+    assert ">S1" in capsys.readouterr().out

@@ -101,6 +101,14 @@ def main(argv: List[str] | None = None) -> int:
         return cmd_build_hc_db(rest)
     if cmd == "build-taxon-db":
         return cmd_build_taxon_db(rest)
+    if cmd == "vcf2fasta":
+        from .db.vcf2fasta import add_variants_to_fasta
+
+        if len(rest) != 3:
+            print("Usage: vgan vcf2fasta [vcf_file] [fasta_file] "
+                  "[chromosome]")
+            return 1
+        return add_variants_to_fasta(rest[0], rest[1], rest[2])
     if cmd == "map":
         return cmd_map(rest)
     if cmd == "bench":
