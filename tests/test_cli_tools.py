@@ -241,3 +241,68 @@ def test_vcf2fasta(tmp_path, capsys):
     rc = cli.main(["vcf2fasta", vp, str(fa), "chrM"])
     assert rc == 0
     assert ">S1" in capsys.readouterr().out
+
+
+def test_plot_subcommands(tiny_euka_db, tmp_path, capsys):
+    """viz/plots.py (plottingScripts equivalents): a real euka run's
+    outputs render to per-taxon PNGs; soibean trace/k-curve plots
+    render from real Result files; tree-from-output annotates
+    detection."""
+    import os
+
+    import pytest
+
+    pytest.importorskip("matplotlib")
+    from vgan_tpu.io import fastx
+
+    # euka run on the toy DB -> real output TSVs/profs
+    out = str(tmp_path / "eu")
+    fq = "/root/reference/test/reconstructInputSeq/test_reads.fq"
+    big = tmp_path / "reads.fq"
+    big.write_text(open(fq).read() * 6)
+    rc = cli.main([
+        "euka", "--euka_dir", str(tiny_euka_db), "--dbprefix", "toy_db",
+        "-fq1", str(big), "-o", out, "--minMQ", "0", "--minFrag", "2",
+        "--minBins", "1", "--maxBins", "3",
+    ])
+    assert rc == 0
+    rc = cli.main(["plot-detected", out])
+    assert rc == 0
+    assert os.path.exists(out + "_ToyTaxon.png")
+    rc = cli.main(["tree-from-output", out + "_abundance.tsv"])
+    assert rc == 0
+    assert "ToyTaxon - detected" in capsys.readouterr().out
+
+    # soibean-style trace files -> trace + k plots
+    import gzip
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    for k in (1, 2):
+        for chain in (0, 1):
+            p = tmp_path / f"sbResult{k}{chain}.mcmc"
+            with gzip.open(p, "wt") as f:
+                f.write(
+                    "".join(
+                        f"Source_{s+1}\tLog-likelihood\tproportion\t"
+                        "branch_position_derived\t"
+                        for s in range(k)
+                    )
+                    + "\n"
+                )
+                for it in range(50):
+                    row = []
+                    ll = -100 + it * 0.5 + chain
+                    for s in range(k):
+                        row.append(
+                            f"nodeA\t{ll:.6g}\t"
+                            f"{rng.random():.6g}\t{rng.random():.6g}"
+                        )
+                    f.write("\t".join(row) + "\n")
+    rc = cli.main(["plot-trace", str(tmp_path / "sbResult20.mcmc"), "10"])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "sbResult20.mcmc") + ".png")
+    rc = cli.main(["plot-k", str(tmp_path / "sb")])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "sbkCurve.png"))

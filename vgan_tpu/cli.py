@@ -111,6 +111,9 @@ def main(argv: List[str] | None = None) -> int:
         return add_variants_to_fasta(rest[0], rest[1], rest[2])
     if cmd == "map":
         return cmd_map(rest)
+    if cmd in ("plot-taxon", "plot-detected", "plot-trace", "plot-k",
+               "tree-from-output"):
+        return cmd_plot(cmd, rest)
     if cmd == "bench":
         import runpy
 
@@ -616,6 +619,52 @@ def cmd_gam2prof(args: List[str]) -> int:
                     "\t".join(str(x) for x in baseshift[i_c][p_])
                     + f"\t\t{pos}\n"
                 )
+    return 0
+
+
+def cmd_plot(cmd: str, args: List[str]) -> int:
+    """Output visualization (share/vgan/plottingScripts equivalents;
+    viz/plots.py):
+      plot-taxon <prefix> <taxon>    plot_taxon.R
+      plot-detected <prefix>         visualize_detected_taxa.sh
+      plot-trace <file> [burnin]     soibeanPlotTrace.R
+      plot-k <prefix>                soibeanPlotk.R
+      tree-from-output <abundance.tsv>  make_tree_from_output.py
+    """
+    from .viz import plots
+
+    try:
+        if cmd == "plot-taxon":
+            if len(args) < 2:
+                raise SystemExit("usage: vgan plot-taxon prefix taxon")
+            out = plots.plot_taxon(args[0], args[1])
+        elif cmd == "plot-detected":
+            if len(args) < 1:
+                raise SystemExit("usage: vgan plot-detected prefix")
+            out = ", ".join(plots.visualize_detected(args[0]))
+        elif cmd == "plot-trace":
+            if len(args) < 1:
+                raise SystemExit(
+                    "usage: vgan plot-trace trace.mcmc [burnin]"
+                )
+            out = plots.plot_trace(
+                args[0], int(args[1]) if len(args) > 1 else 0
+            )
+        elif cmd == "plot-k":
+            if len(args) < 1:
+                raise SystemExit("usage: vgan plot-k prefix")
+            out = plots.plot_k(args[0])
+        else:
+            if len(args) < 1:
+                raise SystemExit(
+                    "usage: vgan tree-from-output abundance.tsv"
+                )
+            plots.tree_from_output(args[0])
+            return 0
+    except ImportError:
+        print("[plot] matplotlib unavailable", file=sys.stderr)
+        return 1
+    print(f"[plot] wrote {out}", file=sys.stderr)
     return 0
 
 
