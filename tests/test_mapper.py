@@ -481,3 +481,28 @@ def test_paired_fast_path_parity(mt_world):
     for a, b in zip(old, new):
         assert (a.identity != 0) == (b.identity != 0), a.name
         assert key(a) == key(b), a.name
+
+
+def test_index_build_vectorized_matches_loop():
+    """Vectorized MinimizerIndex.build == the per-minimizer dict-loop
+    oracle field-for-field (incl. first-seen posting order and max_occ
+    filtering) on a multi-haplotype world with reverse steps and an
+    RYmer index."""
+    from vgan_tpu.graph.synth import build_haplotype_graph
+    from vgan_tpu.io.fastx import read_fasta
+    from vgan_tpu.mapper.index import MinimizerIndex
+
+    seqs, _ = read_fasta("/root/reference/test/input_files/rCRS.fa")
+    graph, _ = build_haplotype_graph(
+        seqs[0][:4000], n_haplotypes=6, n_variants=50, seed=13
+    )
+    for ry, mo in ((False, None), (True, 64), (False, 3)):
+        a = MinimizerIndex.build(graph, k=20, w=10, ry=ry, max_occ=mo)
+        b = MinimizerIndex._build_loop(graph, k=20, w=10, ry=ry,
+                                       max_occ=mo)
+        np.testing.assert_array_equal(a.hashes, b.hashes)
+        np.testing.assert_array_equal(a.post_off, b.post_off)
+        np.testing.assert_array_equal(a.post_path, b.post_path)
+        np.testing.assert_array_equal(a.post_ppos, b.post_ppos)
+        np.testing.assert_array_equal(a.post_rc, b.post_rc)
+        np.testing.assert_array_equal(a.path_len, b.path_len)
