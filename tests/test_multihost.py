@@ -212,3 +212,35 @@ def test_soibean_two_process_matches_single(ref, tmp_path):
         s = (tmp_path / f"sb_s{suffix}").read_text()
         m = (tmp_path / f"sb_m{suffix}").read_text()
         assert s == m, suffix
+
+
+def test_keelime_two_process_matches_single(ref, tmp_path):
+    """keelime multihost: rank-sharded mapping + per-read analysis,
+    frags allgather in read order, host 0 assembles — all four output
+    files byte-equal the single-process run."""
+    from vgan_tpu import cli
+
+    d = tmp_path / "db"
+    assert cli.main([
+        "build-db", str(ref / "test/reconstructInputSeq/target_graph.gfa"),
+        str(d),
+    ]) == 0
+    fq = str(ref / "test/reconstructInputSeq/test_reads.fq")
+    big = tmp_path / "reads.fq"
+    big.write_text(open(fq).read() * 4)
+    base = [
+        "keelime", "--dbdir", str(d), "--dbprefix", "graph.npz",
+        "-fq1", str(big),
+    ]
+    _run_single(base + ["-o", "kl_s_"], tmp_path)
+    _run_pair(base + ["-o", "kl_m_"], 29894, tmp_path)
+    import gzip
+
+    for suffix in ("Consensus.fa.gz", "Contig.fa.gz"):
+        s = gzip.open(tmp_path / f"kl_s_{suffix}").read()
+        m = gzip.open(tmp_path / f"kl_m_{suffix}").read()
+        assert s == m, suffix
+    for suffix in ("ProbabilityMatrix.tsv", "CountMatrix.tsv"):
+        s = (tmp_path / f"kl_s_{suffix}").read_text()
+        m = (tmp_path / f"kl_m_{suffix}").read_text()
+        assert s == m, suffix

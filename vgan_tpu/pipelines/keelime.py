@@ -1715,6 +1715,7 @@ def main_keelime(args: List[str]) -> int:
     from ..utils.profiling import PROFILER
 
     from ..mapper.batch_map import load_native, table_from_gam
+    from ..parallel import multihost
 
     table = alignments = None
     columnar = load_native() is not None
@@ -1724,10 +1725,25 @@ def main_keelime(args: List[str]) -> int:
                 table = table_from_gam(gamfile)
             if table is None:
                 alignments = gamio.read_gam(gamfile)
+        if multihost.active():
+            # rank-shard the alignments; frags allgather below
+            if table is not None:
+                n = table.n
+                per = -(-n // multihost.process_count())
+                pid = multihost.process_id()
+                import numpy as _np
+
+                table = table.select(
+                    _np.arange(pid * per, min((pid + 1) * per, n))
+                )
+            else:
+                alignments = multihost.shard_reads(alignments)
     else:
         mapper = Mapper(graph)
         reads = fastx.read_fastq(fq1)
         r2 = fastx.read_fastq(fq2) if fq2 else []
+        if multihost.active() and not r2:
+            reads = multihost.shard_reads(reads)
         with PROFILER.stage("map", items=len(reads) + len(r2)):
             if r2 and len(r2) == len(reads):
                 alignments = mapper.map_read_pairs(reads, r2)
@@ -1741,6 +1757,15 @@ def main_keelime(args: List[str]) -> int:
             frags = analyse_gam_table(graph, table, damage=damage)
         else:
             frags = analyse_gam(graph, alignments, damage=damage)
+    if multihost.active():
+        # mapping + per-read analysis shard across ranks; the OLC
+        # assembly is a global read-order-dependent structure, so frags
+        # gather (rank order = read order) and host 0 assembles+writes
+        parts = multihost.allgather_objects(frags)
+        frags = [f for part in parts for f in part]
+        if not multihost.is_host0():
+            PROFILER.report()
+            return 0
     with PROFILER.stage("assemble", items=len(frags)):
         contigs = assemble(
             graph, frags, ref_path=ref_path, len_min=len_min,
