@@ -468,7 +468,7 @@ class BatchedMapper(Mapper):
         ).to_alignments()
 
     def map_reads_table(self, reads, max_candidates: int = 8,
-                        pad: int = 24, chunk: int = 2048):
+                        pad: int = 24, chunk: int = 4096):
         """Batch mapping with columnar output (batch_map.AlignmentTable)
         — the production form consumed by the haplocart columnar
         pipeline (pipelines/hc_columnar.py); no per-read Python objects
@@ -489,8 +489,8 @@ class BatchedMapper(Mapper):
         )
 
     def map_table_chunks(self, reads, max_candidates: int = 8,
-                         pad: int = 24, chunk: int = 2048,
-                         depth: int = 2):
+                         pad: int = 24, chunk: int = 4096,
+                         depth: int = 3):
         """Generator form of map_reads_table: yields per-chunk
         AlignmentTables in read order as they finalize, so a consumer
         (hc_columnar.score_table_stream) can overlap its own host/
