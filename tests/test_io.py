@@ -413,3 +413,57 @@ def test_gg_gbwt_pair_matches_gfa_twin(ref):
         return out
 
     assert canon(g1) == canon(g2)
+
+
+def test_xg_matches_gg_twin(ref):
+    """The sdsl .xg reader (`vgan_tpu/io/xg.py`, the vg xg index the
+    reference's giraffe stack consumes, `src/map_giraffe.cpp:41-55`
+    family) decodes target.xg into the exact graph the .gg+.gbwt twin
+    yields: nodes, sequences, edges, and per-name path step sequences.
+    Path COLUMN order differs (.xg keeps insertion order), so support
+    is compared under the name permutation."""
+    import numpy as np
+
+    from vgan_tpu.io.gbz import load_packed_graph_gg
+    from vgan_tpu.io.xg import load_packed_graph_xg
+
+    gx = load_packed_graph_xg(str(ref / "test/input_files/target.xg"))
+    gg = load_packed_graph_gg(
+        str(ref / "test/input_files/target.gg"),
+        str(ref / "test/input_files/target.gbwt"),
+    )
+    assert gx.min_id == gg.min_id and gx.n_nodes == gg.n_nodes
+    np.testing.assert_array_equal(gx.node_off, gg.node_off)
+    np.testing.assert_array_equal(gx.node_seq_pool, gg.node_seq_pool)
+    assert sorted(gx.path_names) == sorted(gg.path_names)
+    by_name = dict(zip(gx.path_names, gx.path_steps_node))
+    rev_by_name = dict(zip(gx.path_names, gx.path_steps_rev))
+    for name, steps, rev in zip(
+        gg.path_names, gg.path_steps_node, gg.path_steps_rev
+    ):
+        np.testing.assert_array_equal(by_name[name], steps)
+        np.testing.assert_array_equal(rev_by_name[name], rev)
+    perm = [gx.path_names.index(n) for n in gg.path_names]
+    np.testing.assert_array_equal(gx.path_support[:, perm],
+                                  gg.path_support)
+    ex = set(zip(gx.edge_from.tolist(), gx.edge_from_rev.tolist(),
+                 gx.edge_to.tolist(), gx.edge_to_rev.tolist()))
+    eg = set(zip(gg.edge_from.tolist(), gg.edge_from_rev.tolist(),
+                 gg.edge_to.tolist(), gg.edge_to_rev.tolist()))
+    assert ex == eg
+
+
+def test_build_db_from_xg(ref, tmp_path):
+    """`build-db target.xg` produces a usable packed DB (VERDICT r2
+    stretch #9: the .xg flavor loads natively end-to-end)."""
+    from vgan_tpu.cli import main
+
+    rc = main([
+        "build-db", str(ref / "test/input_files/target.xg"),
+        str(tmp_path / "xgdb"),
+    ])
+    assert rc == 0
+    from vgan_tpu.graph.packed import PackedGraph
+
+    g = PackedGraph.load(str(tmp_path / "xgdb" / "graph.npz"))
+    assert g.n_nodes == 28 and g.n_paths == 5

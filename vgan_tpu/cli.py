@@ -719,14 +719,16 @@ def cmd_map(args: List[str]) -> int:
 
 
 def cmd_build_db(args: List[str]) -> int:
-    """build-db <in.gfa|in.vg|in.og|in.gbz> <out_dir> [--k K --w W]:
-    compile a GFA, vg-protobuf, bdsg-ODGI or GBZ graph into the packed
-    graph + (optionally) persist the minimizer index."""
+    """build-db <in.gfa|in.vg|in.og|in.gbz|in.gg|in.xg> <out_dir>
+    [--k K --w W]: compile a GFA, vg-protobuf, bdsg-ODGI, GBZ,
+    .gg+.gbwt or sdsl .xg graph into the packed graph + (optionally)
+    persist the minimizer index."""
     import os
 
     if len(args) < 2:
         raise SystemExit(
-            "usage: vgan build-db in.gfa|in.vg|in.og|in.gbz out_dir"
+            "usage: vgan build-db in.gfa|in.vg|in.og|in.gbz|in.gg|in.xg"
+            " out_dir"
         )
     gfa, out_dir = args[0], args[1]
     os.makedirs(out_dir, exist_ok=True)
@@ -812,6 +814,10 @@ def _load_one_graph(path: str):
         from .io.gbz import load_packed_graph_gg
 
         return load_packed_graph_gg(path)
+    if path.endswith(".xg"):
+        from .io.xg import load_packed_graph_xg
+
+        return load_packed_graph_xg(path)
     return PackedGraph.from_gfa(path)
 
 
@@ -823,7 +829,7 @@ def _load_graph(prefix: str):
     from .graph.packed import PackedGraph  # noqa: F401
 
     exts = (".npz", ".gfa", ".vg", ".og", ".gbz", ".giraffe.gbz",
-            ".gg")
+            ".gg", ".xg")
     if prefix.endswith(exts) and os.path.exists(prefix):
         return _load_one_graph(prefix)
     for ext in exts:
@@ -831,7 +837,7 @@ def _load_graph(prefix: str):
             return _load_one_graph(prefix + ext)
     d = os.path.dirname(prefix)
     for name in ("graph.npz", "graph.gfa", "graph.vg", "graph.og",
-                 "graph.giraffe.gbz", "graph.gg"):
+                 "graph.giraffe.gbz", "graph.gg", "graph.xg"):
         cand = os.path.join(d, name)
         if os.path.exists(cand):
             return _load_one_graph(cand)
