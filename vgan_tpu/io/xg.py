@@ -101,17 +101,9 @@ def _unpack_iv(buf: bytes, payload_off: int, bits: int, width: int) -> np.ndarra
         return np.frombuffer(
             words.tobytes()[:n], dtype=np.uint8
         ).astype(np.int64)
-    out = np.empty(n, dtype=np.int64)
-    mask = (1 << width) - 1
-    w = words.astype(object)  # avoid u64 shift overflow for width>32
-    for i in range(n):
-        s = i * width
-        wi, sh = divmod(s, 64)
-        v = int(w[wi]) >> sh
-        if sh + width > 64 and wi + 1 < nw:
-            v |= int(w[wi + 1]) << (64 - sh)
-        out[i] = v & mask
-    return out
+    from .gbz import _unpack_ints
+
+    return _unpack_ints(n, width, words)
 
 
 class _BitReader:
