@@ -34,6 +34,7 @@ Prints ONE JSON line.
 """
 import hashlib
 import json
+import math
 import os
 import tempfile
 import time
@@ -197,18 +198,27 @@ def bench_haplocart_e2e(graph):
             )
             f.write(f"@{r.name}\n{r.seq}\n+\n{qual}\n")
     try:
+        # best-of-3 timed runs on BOTH paths: the 2-vCPU host and the
+        # device tunnel add tens-of-ms scheduling noise per run, so a
+        # single sample under-reports the pipeline; best-of-N with the
+        # identical protocol on numerator and denominator keeps the
+        # ratio fair.
         cfg = HaplocartConfig(db_dir="", fq1=fq, quiet=True)
         run_sample(cfg, db, mapper, "warm")  # compile + warm caches
-        t0 = time.perf_counter()
-        pred_d, n_d, vec_d = run_sample(cfg, db, mapper, "bench")
-        dt = time.perf_counter() - t0
+        dt = math.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pred_d, n_d, vec_d = run_sample(cfg, db, mapper, "bench")
+            dt = min(dt, time.perf_counter() - t0)
         e2e_rps = len(reads) / dt
 
         cfg_p = HaplocartConfig(db_dir="", fq1=fq, quiet=True, precise=True)
         run_sample(cfg_p, db, mapper, "warm")
-        t0 = time.perf_counter()
-        pred_p, n_p, vec_p = run_sample(cfg_p, db, mapper, "precise")
-        host_dt = time.perf_counter() - t0
+        host_dt = math.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pred_p, n_p, vec_p = run_sample(cfg_p, db, mapper, "precise")
+            host_dt = min(host_dt, time.perf_counter() - t0)
         host_rps = len(reads) / host_dt
     finally:
         os.unlink(fq)
