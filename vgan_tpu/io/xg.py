@@ -33,6 +33,7 @@ sdsl framing primitives used here:
 from __future__ import annotations
 
 import struct
+import warnings
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -106,38 +107,46 @@ def _unpack_iv(buf: bytes, payload_off: int, bits: int, width: int) -> np.ndarra
     return _unpack_ints(n, width, words)
 
 
-class _BitReader:
-    """LSB-first reader over little-endian u64 words (sdsl bit order)."""
-
-    def __init__(self, words):
-        self.w = words
-        self.p = 0
-
-    def read(self, b: int) -> int:
-        v = 0
-        for i in range(b):
-            v |= ((int(self.w[self.p // 64]) >> (self.p % 64)) & 1) << i
-            self.p += 1
-        return v
-
-    def zeros_then_one(self) -> int:
-        c = 0
-        while ((int(self.w[self.p // 64]) >> (self.p % 64)) & 1) == 0:
-            c += 1
-            self.p += 1
-        self.p += 1
-        return c
-
-
-def _elias_delta(br: _BitReader) -> int:
-    zl = br.zeros_then_one()
-    if zl == 0:
-        return 1
-    ln = (1 << zl) | br.read(zl)
-    return (1 << (ln - 1)) | br.read(ln - 1)
-
-
 _U64_MASK = (1 << 64) - 1
+
+_POW2 = (1 << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
+
+def _decode_elias_delta_stream(words, count: int) -> List[int]:
+    """Decode `count` elias-delta codes from LSB-first u64 words.
+
+    The bit stream is expanded once with np.unpackbits and one-bit
+    positions are precomputed with flatnonzero, so the per-code work is
+    a cursor bump plus two small dot products — no per-bit Python loop
+    (the load-time bottleneck flagged for pangenome-scale path sets).
+    """
+    if count == 0:
+        return []
+    bits = np.unpackbits(
+        np.asarray(words, dtype="<u8").view(np.uint8), bitorder="little"
+    )
+    ones = np.flatnonzero(bits)
+    out: List[int] = []
+    p = 0
+    oi = 0
+    for _ in range(count):
+        nxt = int(ones[oi])
+        oi += 1
+        zl = nxt - p
+        p = nxt + 1
+        if zl == 0:
+            out.append(1)
+            continue
+        ln = (1 << zl) | int(bits[p : p + zl].astype(np.uint64) @ _POW2[:zl])
+        p += zl
+        m = ln - 1
+        val = (1 << m) | int(bits[p : p + m].astype(np.uint64) @ _POW2[:m])
+        p += m
+        # payload bits may contain set bits the ones[] cursor must skip
+        while oi < len(ones) and ones[oi] < p:
+            oi += 1
+        out.append(val & _U64_MASK)
+    return out
 
 
 def _parse_enc_vector(buf: bytes, o: int) -> Tuple[int, List[int]]:
@@ -156,15 +165,20 @@ def _parse_enc_vector(buf: bytes, o: int) -> Tuple[int, List[int]]:
     samples = _unpack_iv(buf, spay, sbits, sw)
     nw = (zbits + 63) // 64
     words = (
-        struct.unpack_from(f"<{nw}Q", buf, zpay) if nw else (0,)
+        np.frombuffer(buf, dtype="<u8", count=nw, offset=zpay)
+        if nw
+        else np.zeros(1, dtype="<u8")
     )
-    br = _BitReader(words)
+    n_samples = (size + 127) // 128
+    deltas = _decode_elias_delta_stream(words, size - n_samples)
     vals: List[int] = []
+    di = 0
     for i in range(size):
         if i % 128 == 0:
-            vals.append(int(samples[2 * (i // 128)]))
+            vals.append(int(samples[2 * (i // 128)]) & _U64_MASK)
         else:
-            vals.append((vals[-1] + _elias_delta(br)) & _U64_MASK)
+            vals.append((vals[-1] + deltas[di]) & _U64_MASK)
+            di += 1
     return o, vals
 
 
@@ -199,6 +213,14 @@ def parse_xg(path: str):
     version = struct.unpack_from(">I", buf, 4)[0]
     if version not in (13, 14, 15, 16):
         raise XGFormatError(f"{path}: unsupported xg version {version}")
+    if version != 16:
+        # only v16 (the version the reference DBs ship) has been
+        # differentially validated against a decoded .gg twin
+        warnings.warn(
+            f"{path}: xg version {version} layout is unvalidated "
+            "(only v16 verified; see XG_FORMAT_NOTES.md)",
+            stacklevel=2,
+        )
     o = 8
     (seq_length, node_count, edge_count, path_count, min_id, max_id) = (
         struct.unpack_from("<6Q", buf, o)
@@ -259,10 +281,22 @@ def parse_xg(path: str):
     # model the whole csa_wt serialization we scan for the path-count
     # u64 and validate by fully parsing every XGPath (handle values
     # must land on g-record starts).  See XG_FORMAT_NOTES.md.
-    paths_raw = None
-    for cand in range(o, len(buf) - 8):
-        if _u64(buf, cand) != path_count:
+    # Candidate offsets are found with eight strided u64 views (one per
+    # byte phase) instead of a per-byte Python scan; 8-byte-aligned
+    # candidates are tried first.
+    cands: List[int] = []
+    for phase in range(8):
+        n64 = (len(buf) - phase) // 8
+        if n64 <= 0:
             continue
+        view = np.frombuffer(buf, dtype="<u8", count=n64, offset=phase)
+        offs = phase + 8 * np.flatnonzero(view == path_count)
+        cands.extend(
+            int(c) for c in offs if o <= c <= len(buf) - 8
+        )
+    cands.sort(key=lambda c: (c % 8 != 0, c))
+    paths_raw = None
+    for cand in cands:
         try:
             q = cand + 8
             got = []
@@ -314,7 +348,11 @@ def load_packed_graph_xg(path: str):
         node_seqs[nid] = x["seq"][sstart : sstart + slen]
     # Edge ints: zigzag(g-entry delta from this record's start) << 1 |
     # orientation flag (0 = forward->forward; all reference DB graphs
-    # are forward-only).  Emit each edge once, from the outgoing list.
+    # are forward-only).  A set flag means a reverse-strand edge whose
+    # full from_rev/to_rev combination the single bit cannot represent
+    # — decoding it would emit the same edge twice with conflicting
+    # orientations from the two endpoint views, so reject it instead
+    # (forward-only is the validated scope; see XG_FORMAT_NOTES.md).
     rec_start = sorted(x["rec_off"])  # g-offsets in record order
     edges: List[Tuple[int, bool, int, bool]] = []
     seen = set()
@@ -324,7 +362,12 @@ def load_packed_graph_xg(path: str):
                                 (x["from_edges"][ridx], False)):
             for eint in group:
                 delta = _unzigzag(eint >> 1)
-                rev_flag = bool(eint & 1)
+                if eint & 1:
+                    raise XGFormatError(
+                        f"record {ridx}: reverse-strand edge int "
+                        f"{eint:#x}; only forward-forward edges are "
+                        "supported (unvalidated orientation encoding)"
+                    )
                 tgt_off = base + delta
                 tidx = x["rec_off"].get(tgt_off)
                 if tidx is None:
@@ -332,10 +375,10 @@ def load_packed_graph_xg(path: str):
                         f"edge delta {delta} from record {ridx} misses"
                     )
                 other = nodes[tidx][0]
-                e = (other, rev_flag, nid, False) if incoming else (
-                    nid, False, other, rev_flag
+                e = (other, False, nid, False) if incoming else (
+                    nid, False, other, False
                 )
-                key = (e[0], e[2], e[1], e[3])
+                key = (e[0], e[2])
                 if key in seen:
                     continue
                 seen.add(key)
