@@ -85,3 +85,60 @@ def test_k_estimation_from_signature_nodes(species_world):
     # both true species should appear among the signature paths
     assert "speciesB" in paths
     assert "speciesD" in paths
+
+
+def test_checkpoint_kill_and_resume(species_world, tmp_path, monkeypatch):
+    """--checkpoint semantics: a run killed mid-sampling and resumed
+    with the same command produces byte-identical estimates to an
+    uninterrupted run (SURVEY §5 checkpoint/resume; the reference
+    restarts 500k-iter runs from zero)."""
+    graph, tree, mapper = species_world
+    reads = sample_reads(graph, graph.path_names.index("speciesB"), 80, seed=4)
+    alignments = [a for a in mapper.map_reads(reads) if a.identity != 0]
+    stats = sb.analyse_reads(graph, alignments)
+    kw = dict(
+        n_iter=1200, burnin=200, chains=2, specified_k=1,
+        write_files=True, seed=0, checkpoint_every=400,
+    )
+    outA = str(tmp_path / "A")
+    resA = run_soibean_inference(
+        tree, stats, graph.path_names, _freqs(), outA,
+        checkpoint_path=str(tmp_path / "cpA"), **kw,
+    )
+    # interrupted run: kill after two MCMC segments (mid chain 0)
+    from vgan_tpu.infer import tree_mcmc as tm
+
+    orig = tm._run_segment
+    calls = {"n": 0}
+
+    def bomb(*a, **k2):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise KeyboardInterrupt
+        return orig(*a, **k2)
+
+    outB = str(tmp_path / "B")
+    monkeypatch.setattr(tm, "_run_segment", bomb)
+    with pytest.raises(KeyboardInterrupt):
+        run_soibean_inference(
+            tree, stats, graph.path_names, _freqs(), outB,
+            checkpoint_path=str(tmp_path / "cpB"), **kw,
+        )
+    monkeypatch.setattr(tm, "_run_segment", orig)
+    import os
+
+    assert os.path.exists(str(tmp_path / "cpB") + ".k1.c0.npz")
+    resB = run_soibean_inference(
+        tree, stats, graph.path_names, _freqs(), outB,
+        checkpoint_path=str(tmp_path / "cpB"), **kw,
+    )
+    for s_a, s_b in zip(resA[1], resB[1]):
+        np.testing.assert_allclose(s_a.theta_mean, s_b.theta_mean)
+        np.testing.assert_allclose(s_a.pos_mean, s_b.pos_mean)
+    for fname in ("ProportionEstimates1.txt", "BranchEstimate1.txt",
+                  "Diagnostics10.txt"):
+        with open(outA + fname) as f:
+            a_txt = f.read()
+        with open(outB + fname) as f:
+            b_txt = f.read()
+        assert a_txt == b_txt, fname

@@ -394,6 +394,8 @@ def cmd_soibean(args: List[str]) -> int:
     path_thres = 0
     rand_start = False
     safari = False
+    checkpoint_path = None
+    checkpoint_every = 100000
     i = 0
     while i < len(args):
         a = args[i]
@@ -427,6 +429,12 @@ def cmd_soibean(args: List[str]) -> int:
             interleaved = True; i += 1
         elif a == "--randStart":
             rand_start = True; i += 1
+        elif a == "--checkpoint":
+            # resumable MCMC: snapshots to <path>.k<k>.c<chain>.npz;
+            # rerunning the same command continues from the snapshot
+            checkpoint_path = _take(args, i); i += 2
+        elif a == "--checkpoint-every":
+            checkpoint_every = int(_take(args, i)); i += 2
         elif a == "--no-mcmc":
             run_mcmc_flag = False; i += 1
         elif a == "--alignment-detail":
@@ -525,6 +533,8 @@ def cmd_soibean(args: List[str]) -> int:
             tree, stats, graph.path_names, freqs, out,
             n_iter=n_iter, burnin=burnin, chains=chains, specified_k=spec_k,
             rand_start=rand_start,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every,
         )
     PROFILER.report()
     return 0

@@ -653,8 +653,17 @@ def run_tree_mcmc_checkpointed(
     )
     while start < total:
         end = min(start + checkpoint_every, total)
+        # same burn-boundary hop split as run_tree_mcmc_chains so a
+        # checkpointed run matches the vmapped production sampler
+        if start < burn + 1:
+            end = min(end, burn + 1)
+            hops = WALK_HOPS
+        else:
+            hops = POST_BURN_HOPS
         iters = jnp.arange(start, end)
-        carry, recs = _run_segment(*carry, iters, jnp.asarray(sd[start:end]), *args)
+        carry, recs = _run_segment(
+            *carry, iters, jnp.asarray(sd[start:end]), *args, walk_hops=hops
+        )
         rn, rp, rt, rl = (np.asarray(x) for x in recs)
         segments.append((rn, rp, rt, rl))
         start = end

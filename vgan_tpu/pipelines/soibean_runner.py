@@ -164,6 +164,8 @@ def run_soibean_inference(
     write_files: bool = True,
     rand_start: bool = False,
     mesh="auto",
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 100000,
 ) -> Dict[int, List[ChainSummary]]:
     """Full inference loop over k = 1..#signature nodes x chains
     (`src/soibean.cpp:745-940`).
@@ -171,7 +173,13 @@ def run_soibean_inference(
     mesh: "auto" (default) shards the chain axis over local devices
     when the chain count divides evenly (SURVEY §2.9 chain-parallel
     row; the reference runs chains sequentially,
-    `src/soibean.cpp:805-840`)."""
+    `src/soibean.cpp:805-840`).
+
+    checkpoint_path: when set, chains run through the segmented
+    resumable sampler; state snapshots to
+    `<checkpoint_path>.k<k>.c<chain>.npz` every `checkpoint_every`
+    iterations and an interrupted run continues from the last snapshot
+    (SURVEY §5 checkpoint/resume — the reference restarts from zero)."""
     if mesh == "auto":
         from ..parallel.mesh import auto_mesh
 
@@ -242,20 +250,60 @@ def run_soibean_inference(
         else:
             nproc, pid = 1, 0
             local_ids = list(range(chains))
-        traces = run_tree_mcmc_chains(
-            tree,
-            path_map_t,
-            counts25_t,
-            srcs[local_ids],
-            freqs,
-            con=con,
-            max_iter=n_iter,
-            burn=burnin,
-            num_paths=len(path_names),
-            init_loglike=init_ll,
-            seeds=seeds[local_ids],
-            mesh=chain_mesh if nproc == 1 else None,
-        )
+        if write_files and (nproc == 1 or multihost.is_host0()):
+            # the shared per-k estimate files append per chain; start
+            # each k from a clean slate so an interrupted run resumed
+            # via --checkpoint (or a plain rerun) never double-appends
+            import os as _os
+
+            for p in (
+                f"{out_prefix}ProportionEstimates{k}.txt",
+                f"{out_prefix}BranchEstimate{k}.txt",
+            ):
+                if _os.path.exists(p):
+                    _os.unlink(p)
+        if checkpoint_path is not None:
+            from ..infer.tree_mcmc import MCMCTrace, run_tree_mcmc_checkpointed
+
+            per_chain = [
+                run_tree_mcmc_checkpointed(
+                    tree,
+                    path_map_t,
+                    counts25_t,
+                    srcs[chain],
+                    freqs,
+                    con=con,
+                    max_iter=n_iter,
+                    burn=burnin,
+                    num_paths=len(path_names),
+                    init_loglike=init_ll,
+                    seed=int(seeds[chain]),
+                    checkpoint_path=f"{checkpoint_path}.k{k}.c{chain}.npz",
+                    checkpoint_every=checkpoint_every,
+                )
+                for chain in local_ids
+            ]
+            traces = MCMCTrace(
+                node=np.stack([t.node for t in per_chain]),
+                pos=np.stack([t.pos for t in per_chain]),
+                theta=np.stack([t.theta for t in per_chain]),
+                loglike=np.stack([t.loglike for t in per_chain]),
+            )
+        else:
+            traces = run_tree_mcmc_chains(
+                tree,
+                path_map_t,
+                counts25_t,
+                srcs[local_ids],
+                freqs,
+                con=con,
+                max_iter=n_iter,
+                burn=burnin,
+                num_paths=len(path_names),
+                init_loglike=init_ll,
+                seeds=seeds[local_ids],
+                mesh=chain_mesh if nproc == 1 else None,
+            )
         local_summaries: List[tuple] = []
         for j, chain in enumerate(local_ids):
             trace = type(traces)(
