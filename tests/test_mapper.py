@@ -506,3 +506,126 @@ def test_index_build_vectorized_matches_loop():
         np.testing.assert_array_equal(a.post_ppos, b.post_ppos)
         np.testing.assert_array_equal(a.post_rc, b.post_rc)
         np.testing.assert_array_equal(a.path_len, b.path_len)
+
+
+# ---------------------------------------------------------------------------
+# adversarial MQ calibration (VERDICT r3 #4): synthetic ambiguous-
+# placement worlds where giraffe's MQ behavior is derivable — unique
+# placement -> 60, exactly tied distinct placements -> ~0 (fails the
+# MQ>29 filter, `src/Euka.cpp:184`), and MQ monotone in the score gap
+# (`src/process_mapping.cpp:41` consumes MQ as a 10^(-MQ/10) weight).
+# ---------------------------------------------------------------------------
+def _rand_seq(n, seed):
+    rng = np.random.default_rng(seed)
+    return "".join("ACGT"[i] for i in rng.integers(0, 4, size=n))
+
+
+def _linear_graph(named_seqs, node_len=8):
+    """One linear node chain per named sequence (disjoint node ranges,
+    like taxa in a euka/soibean DB)."""
+    from vgan_tpu.graph.synth import _graph_from_parts
+
+    segments, paths, links = {}, [], []
+    nid = 1
+    for name, seq in named_seqs:
+        steps, prev = [], None
+        for i in range(0, len(seq), node_len):
+            segments[nid] = seq[i : i + node_len]
+            steps.append((nid, False))
+            if prev is not None:
+                links.append((prev, False, nid, False))
+            prev = nid
+            nid += 1
+        paths.append((name, steps))
+    return _graph_from_parts(segments, paths, links)
+
+
+def _read_from(seq, start, L=100, name="r"):
+    return fastx.Read(name=name, seq=seq[start : start + L],
+                      qual=bytes([40] * L))
+
+
+def _mq_both(graph, read):
+    """MQ from the per-read mapper and the batched production mapper
+    (they must agree on the filter decision)."""
+    from vgan_tpu.mapper.giraffe import BatchedMapper
+
+    m1 = Mapper(graph, k=20, w=10).map_read(read).mapping_quality
+    m2 = BatchedMapper(graph, k=20, w=10).map_reads([read])[0].mapping_quality
+    return m1, m2
+
+
+def test_mq_adversarial_unique_placement():
+    seq = _rand_seq(2000, 1)
+    g = _linear_graph([("only", seq)])
+    m1, m2 = _mq_both(g, _read_from(seq, 900))
+    assert m1 == 60 and m2 == 60
+
+
+def test_mq_adversarial_cross_path_tie():
+    """A read tied between two paths with DISJOINT node ranges but the
+    same path-local offsets (two taxa sharing a conserved cassette)
+    must be ambiguous: MQ ~0, failing the >29 filter — not a
+    haplotype-duplicate of one region."""
+    u = _rand_seq(300, 2)
+    a = _rand_seq(1000, 3) + u
+    b = _rand_seq(1000, 4) + u
+    g = _linear_graph([("taxonA", a), ("taxonB", b)])
+    m1, m2 = _mq_both(g, _read_from(a, 1100))
+    assert m1 <= 3 and m2 <= 3  # tied -> fails MQ>29
+    # control: a read unique to taxonA keeps MQ 60
+    u1, u2 = _mq_both(g, _read_from(a, 400))
+    assert u1 == 60 and u2 == 60
+
+
+def test_mq_adversarial_tandem_repeat_same_path():
+    """A repeated cassette within ONE path gives two genuinely distinct
+    placements -> tie -> MQ ~0."""
+    u = _rand_seq(200, 5)
+    seq = _rand_seq(500, 6) + u + _rand_seq(600, 7) + u + _rand_seq(500, 8)
+    g = _linear_graph([("tandem", seq)])
+    m1, m2 = _mq_both(g, _read_from(seq, 550))
+    assert m1 <= 3 and m2 <= 3
+
+
+def test_mq_adversarial_haplotype_duplicate_region():
+    """Two haplotype paths that WALK THE SAME NODES are one placement
+    (giraffe's haplotype dedup): a read there stays MQ 60."""
+    from vgan_tpu.graph.synth import _graph_from_parts
+
+    seq = _rand_seq(1200, 9)
+    segments, links = {}, []
+    steps = []
+    nid = 1
+    for i in range(0, len(seq), 8):
+        segments[nid] = seq[i : i + 8]
+        steps.append((nid, False))
+        if nid > 1:
+            links.append((nid - 1, False, nid, False))
+        nid += 1
+    g = _graph_from_parts(segments, [("hapA", steps), ("hapB", steps)], links)
+    m1, m2 = _mq_both(g, _read_from(seq, 500))
+    assert m1 == 60 and m2 == 60
+
+
+def test_mq_adversarial_monotone_in_gap():
+    """Decoy regions at increasing Hamming distance from the true
+    placement: MQ is monotone nondecreasing in the score gap, ties land
+    below the >29 filter, and far decoys land above it."""
+    true = _rand_seq(1200, 10)
+    start, L = 600, 100
+    mqs = []
+    for d in (0, 1, 2, 4, 8):
+        decoy = list(true)
+        rng = np.random.default_rng(100 + d)
+        # mutate d positions inside the read window
+        for pos in rng.choice(np.arange(start, start + L), size=d,
+                              replace=False):
+            decoy[pos] = "ACGT"[("ACGT".find(decoy[pos]) + 2) % 4]
+        g = _linear_graph([("true", true), ("decoy", "".join(decoy))])
+        m1, m2 = _mq_both(g, _read_from(true, start))
+        assert m1 == m2, f"d={d}: per-read {m1} != batched {m2}"
+        mqs.append(m1)
+    assert mqs[0] <= 3  # exact tie
+    assert all(b >= a for a, b in zip(mqs, mqs[1:])), mqs
+    assert mqs[-1] >= 30  # far decoy passes the euka filter side

@@ -90,6 +90,46 @@ class PackedGraph:
             self._stepoff_cache[path_idx] = out
         return out
 
+    def path_node_spans(self):
+        """Per-path (min, max) node index over the path's steps, as two
+        int64 arrays [P] (cached).  Paths over disjoint node ranges
+        (e.g. different taxa in a euka/soibean DB) never describe the
+        same graph placement, while haplotypes of one backbone all span
+        the same range — used by the mapper's MQ runner-up test."""
+        if getattr(self, "_span_cache", None) is None:
+            P = self.n_paths
+            lo = np.zeros(P, dtype=np.int64)
+            hi = np.zeros(P, dtype=np.int64)
+            for j, sn in enumerate(self.path_steps_node):
+                if len(sn):
+                    lo[j] = int(sn.min())
+                    hi[j] = int(sn.max())
+                else:
+                    lo[j], hi[j] = -1, -2
+            self._span_cache = (lo, hi)
+        return self._span_cache
+
+    def path_span_groups(self):
+        """Group id per path from interval-union of the node spans
+        (cached): paths in different groups occupy disjoint node ranges
+        (different taxa) and may carry byte-identical windows that are
+        nonetheless DISTINCT placements — the mapper's content dedup
+        must not collapse them across groups."""
+        if getattr(self, "_spangrp_cache", None) is None:
+            lo, hi = self.path_node_spans()
+            order = np.argsort(lo, kind="stable")
+            grp = np.zeros(self.n_paths, dtype=np.int32)
+            cur, cur_hi = -1, -2
+            for j in order:
+                if lo[j] > cur_hi:
+                    cur += 1
+                    cur_hi = hi[j]
+                else:
+                    cur_hi = max(cur_hi, hi[j])
+                grp[j] = cur
+            self._spangrp_cache = grp
+        return self._spangrp_cache
+
     # ------------------------------------------------------------ accessors
     def node_index(self, node_id: int) -> int:
         return node_id - self.min_id

@@ -270,6 +270,7 @@ class PendingGather:
     __slots__ = (
         "n_reads", "read_codes", "read_lens", "read_buf", "read_off",
         "c_read", "c_path", "c_strand", "lo", "L", "wlen", "dev", "m",
+        "span_lo", "span_hi", "span_grp",
     )
 
 
@@ -375,6 +376,10 @@ def gather_submit(mapper, reads, max_candidates: int = 8,
     p.c_read = c_read
     p.c_path = c_path
     p.c_strand = c_strand
+    sp_lo, sp_hi = mapper.graph.path_node_spans()
+    p.span_lo = sp_lo[c_path]
+    p.span_hi = sp_hi[c_path]
+    p.span_grp = mapper.graph.path_span_groups()[c_path]
     p.lo = lo
     p.L = L
     p.wlen = wlen
@@ -402,22 +407,31 @@ def gather_collect(p: Optional[PendingGather]) -> Optional[BatchResult]:
     h1 = dev[1, :m]
     h2 = dev[2, :m]
 
-    # content dedup per (read, strand): keep first in cluster order
+    # content dedup per (read, strand, span group): keep first in lo
+    # order; identical windows are one placement only when they also
+    # OVERLAP — equal content from disjoint-span paths (other taxa) or
+    # at a distant offset (tandem repeat) is a distinct placement
+    grp = p.span_grp
     pos_in = np.arange(m)
-    ordd = np.lexsort((pos_in, h2, h1, wlen, c_strand, c_read))
-    rs, ss, w_s, h1s, h2s = (
-        c_read[ordd], c_strand[ordd], wlen[ordd], h1[ordd], h2[ordd]
+    ordd = np.lexsort((pos_in, lo, h2, h1, wlen, grp, c_strand, c_read))
+    rs, ss, gs, w_s, h1s, h2s, los = (
+        c_read[ordd], c_strand[ordd], grp[ordd], wlen[ordd], h1[ordd],
+        h2[ordd], lo[ordd],
     )
     dup = np.zeros(m, dtype=bool)
     dup[1:] = (
-        (rs[1:] == rs[:-1]) & (ss[1:] == ss[:-1]) & (w_s[1:] == w_s[:-1])
+        (rs[1:] == rs[:-1]) & (ss[1:] == ss[:-1]) & (gs[1:] == gs[:-1])
+        & (w_s[1:] == w_s[:-1])
         & (h1s[1:] == h1s[:-1]) & (h2s[1:] == h2s[:-1])
+        & (los[1:] < los[:-1] + w_s[:-1])  # intervals overlap
     )
     kept_rows = np.sort(ordd[~dup])
     c_read, c_path, c_strand, lo, wlen, L, scores = (
         c_read[kept_rows], c_path[kept_rows], c_strand[kept_rows],
         lo[kept_rows], wlen[kept_rows], L[kept_rows], scores[kept_rows],
     )
+    span_lo = p.span_lo[kept_rows]
+    span_hi = p.span_hi[kept_rows]
     m = len(c_read)
 
     # winner + runner-up per read; the runner-up is the best candidate
@@ -435,14 +449,22 @@ def gather_collect(p: Optional[PendingGather]) -> Optional[BatchResult]:
     wstrand = np.zeros(n_reads, dtype=c_strand.dtype)
     wlo = np.zeros(n_reads, dtype=np.int64)
     whi = np.zeros(n_reads, dtype=np.int64)
+    wsp_lo = np.zeros(n_reads, dtype=np.int64)
+    wsp_hi = np.zeros(n_reads, dtype=np.int64)
     wstrand[rr_all] = c_strand[win_rows]
     wlo[rr_all] = lo[win_rows]
     whi[rr_all] = hi[win_rows]
+    wsp_lo[rr_all] = span_lo[win_rows]
+    wsp_hi[rr_all] = span_hi[win_rows]
     strand_o = c_strand[ordw]
     lo_o = lo[ordw]
     hi_o = hi[ordw]
+    # same placement = same strand + overlapping path interval + the
+    # paths' node-index spans overlap (disjoint-span paths — different
+    # taxa — never share a placement; see giraffe.same_placement)
     ovl = (
         (strand_o == wstrand[rw]) & (lo_o < whi[rw]) & (wlo[rw] < hi_o)
+        & (span_lo[ordw] <= wsp_hi[rw]) & (wsp_lo[rw] <= span_hi[ordw])
     )
     pos_ok = np.where(~ovl, np.arange(m), m)
     first_ok = np.minimum.reduceat(pos_ok, first_idx)

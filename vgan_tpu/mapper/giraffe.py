@@ -102,15 +102,28 @@ class PathAlignment:
     hi: int = 0
 
 
-def same_placement(strand_a, lo_a, hi_a, strand_b, lo_b, hi_b) -> bool:
+def same_placement(strand_a, lo_a, hi_a, strand_b, lo_b, hi_b,
+                   span_a=None, span_b=None) -> bool:
     """Two candidates describe the same read placement when they share
     the strand and their haplotype-window intervals overlap — the same
     graph region reached via different (near-identical) haplotypes.
     Such pairs do not compete for mapping quality (giraffe likewise
     rates a placement against genuinely distinct placements only; the
     fixture GAM gives softclipped unique reads MQ 52-55, not a
-    near-zero gap score)."""
-    return strand_a == strand_b and lo_a < hi_b and lo_b < hi_a
+    near-zero gap score).
+
+    spans are the candidates' path (min,max) node-index ranges
+    (PackedGraph.path_node_spans): paths over disjoint node ranges
+    (different taxa in a multi-clade DB) share path-local offsets but
+    never the graph region, so they always count as distinct — a read
+    tied between two taxa must score MQ ~0 and fail the MQ>29 filter
+    (`src/Euka.cpp:184`), as giraffe's multiplicity model would."""
+    if strand_a != strand_b or lo_a >= hi_b or lo_b >= hi_a:
+        return False
+    if span_a is not None and span_b is not None:
+        if span_a[1] < span_b[0] or span_b[1] < span_a[0]:
+            return False
+    return True
 
 
 def extend_candidates(
@@ -315,10 +328,14 @@ class Mapper:
         best = alns[0]
         # runner-up = best genuinely DISTINCT placement (same-placement
         # candidates via different haplotypes don't compete for MQ)
+        sp_lo, sp_hi = self.graph.path_node_spans()
         second = None
         for pa in alns[1:]:
-            if not same_placement(pa.strand, pa.lo, pa.hi,
-                                  best.strand, best.lo, best.hi):
+            if not same_placement(
+                pa.strand, pa.lo, pa.hi, best.strand, best.lo, best.hi,
+                (sp_lo[pa.path], sp_hi[pa.path]),
+                (sp_lo[best.path], sp_hi[best.path]),
+            ):
                 second = pa.eff_score
                 break
 
@@ -387,7 +404,7 @@ class BatchedMapper(Mapper):
             codes = read_codes[ri]
             clusters = clusters_per_read[ri]
             L = len(codes)
-            seen_windows = set()
+            seen_windows: dict = {}
             for cand in clusters[:max_candidates]:
                 pc = path_cache.get(cand.path)
                 if pc is None:
@@ -398,15 +415,21 @@ class BatchedMapper(Mapper):
                 if hi <= lo:
                     continue
                 wcodes = pc[lo:hi]
+                # span group in the key: identical windows from paths
+                # over disjoint node ranges are distinct placements;
+                # equal content is one placement only when the
+                # intervals also overlap (else: tandem repeat)
                 key = (
                     cand.strand,
+                    int(graph.path_span_groups()[cand.path]),
                     hashlib.md5(wcodes.tobytes()).hexdigest(),
                 )
-                if key in seen_windows:
+                spans = seen_windows.setdefault(key, [])
+                if any(lo < h and l < hi for l, h in spans):
                     continue
-                seen_windows.add(key)
+                spans.append((lo, hi))
                 all_cands.append((ri, cand, wcodes, lo))
-                dedup_keys.append(key)
+                dedup_keys.append(key + (lo,))
 
         if not all_cands:
             return read_codes, [], np.zeros(0), {}
@@ -544,12 +567,17 @@ class BatchedMapper(Mapper):
             _score, i = ranked[0]
             _ri, cand_w, w_w, lo_w = all_cands[i]
             hi_w = lo_w + len(w_w)
+            sp_lo, sp_hi = self.graph.path_node_spans()
             # runner-up = best genuinely distinct placement
             second = None
             for s, j in ranked[1:]:
                 _rj, cj, wj, lj = all_cands[j]
-                if not same_placement(cj.strand, lj, lj + len(wj),
-                                      cand_w.strand, lo_w, hi_w):
+                if not same_placement(
+                    cj.strand, lj, lj + len(wj),
+                    cand_w.strand, lo_w, hi_w,
+                    (sp_lo[cj.path], sp_hi[cj.path]),
+                    (sp_lo[cand_w.path], sp_hi[cand_w.path]),
+                ):
                     second = s
                     break
             out.append(
