@@ -445,16 +445,17 @@ def bench_soibean_e2e():
 
 
 def bench_keelime_e2e(graph, mapper, reads):
-    """keelime e2e on the bench world: map -> GAM analysis (5-state
-    damage probs) -> OLC assembly -> consensus
-    (`src/assembly.cpp:3837-4550` path)."""
+    """keelime e2e on the bench world, PRODUCTION path (the CLI's
+    map_reads_table -> analyse_gam_table -> assemble -> consensus,
+    `pipelines/keelime.py::main_keelime`; `src/assembly.cpp:3837-4550`
+    semantics)."""
     from vgan_tpu.pipelines import keelime
 
     sub = reads[: (100 if _SMOKE else 1500)]
 
     def run():
-        alignments = mapper.map_reads(sub)
-        frags = keelime.analyse_gam(graph, alignments)
+        table = mapper.map_reads_table(sub)
+        frags = keelime.analyse_gam_table(graph, table)
         contigs = keelime.assemble(graph, frags)
         cons, scoring, counts, empty = keelime.consensus(graph, contigs)
         return cons

@@ -513,13 +513,139 @@ def to_rymer(seq: str) -> str:
 
 
 # --------------------------------------------------- overlap machinery
+_COMBINED2_I16 = None  # lazily built int16 table (= _COMBINED * 2)
+_OVB_READY = False
+
+
+def _ovb_lib():
+    """Native lib with the overlap_best entry points prepared, or
+    None."""
+    global _COMBINED2_I16, _OVB_READY
+    from ..mapper.batch_map import load_native
+
+    lib = load_native()
+    if lib is None or not hasattr(lib, "overlap_best"):
+        return None
+    if not _OVB_READY:
+        import ctypes
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.overlap_best.restype = ctypes.c_int64
+        lib.overlap_best.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64, i16p,
+            ctypes.c_int64, ctypes.c_double, f64p,
+        ]
+        lib.overlap_best_batch.restype = None
+        lib.overlap_best_batch.argtypes = [
+            u8p, i64p, u8p, i64p, ctypes.c_int64, i16p,
+            ctypes.c_int64, ctypes.c_double, i64p, f64p,
+            ctypes.c_int32,
+        ]
+        t2 = _COMBINED * 2.0
+        assert np.all(t2 == np.round(t2))
+        _COMBINED2_I16 = np.ascontiguousarray(
+            t2.astype(np.int16).reshape(-1)
+        )
+        _OVB_READY = True
+    return lib
+
+
+_TAB_PTR = None  # cached ctypes pointer to _COMBINED2_I16
+
+
+def _overlap_best_native_arr(aa: np.ndarray, bb: np.ndarray,
+                             min_olen: int, min_score: float, lib):
+    """overlap_best on pre-encoded byte arrays (hot-loop variant)."""
+    global _TAB_PTR
+    import ctypes
+
+    if _TAB_PTR is None:
+        _TAB_PTR = _COMBINED2_I16.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int16)
+        )
+    sc = ctypes.c_double(0.0)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    n = lib.overlap_best(
+        aa.ctypes.data_as(u8p), len(aa),
+        bb.ctypes.data_as(u8p), len(bb),
+        _TAB_PTR,
+        min_olen, float(min_score), ctypes.byref(sc),
+    )
+    return int(n), float(sc.value)
+
+
+def _overlap_best_native(a: str, b: str, min_olen: int,
+                         min_score: float):
+    """Native overlap_score twin (cpp/overlapbest.cpp); None when the
+    native lib is unavailable.  Scores are multiples of 0.5, so the
+    int32 accumulation is bit-identical to the numpy f64 sums."""
+    lib = _ovb_lib()
+    if lib is None:
+        return None
+    return _overlap_best_native_arr(_enc(a), _enc(b), min_olen,
+                                    min_score, lib)
+
+
+def overlap_best_batch_native(
+    pairs: Sequence[Tuple[str, str]], min_olen: int, min_score: float,
+    nthreads: int = 0,
+) -> "Optional[List[Tuple[int, float]]]":
+    """Threaded native batch of overlap_score over a candidate-pair
+    list (the find_overlaps fan-out); None when the native lib is
+    unavailable.  Identical winners to the per-pair scorer."""
+    lib = _ovb_lib()
+    if lib is None:
+        return None
+    import ctypes
+    import os
+
+    n = len(pairs)
+    if n == 0:
+        return []
+    abuf = _enc("".join(a for a, _ in pairs))
+    bbuf = _enc("".join(b for _, b in pairs))
+    aoff = np.zeros(n + 1, dtype=np.int64)
+    boff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(a) for a, _ in pairs], out=aoff[1:])
+    np.cumsum([len(b) for _, b in pairs], out=boff[1:])
+    out_len = np.zeros(n, dtype=np.int64)
+    out_score = np.zeros(n, dtype=np.float64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.overlap_best_batch(
+        abuf.ctypes.data_as(u8p), aoff.ctypes.data_as(i64p),
+        bbuf.ctypes.data_as(u8p), boff.ctypes.data_as(i64p),
+        n, _COMBINED2_I16.ctypes.data_as(i16p),
+        min_olen, float(min_score),
+        out_len.ctypes.data_as(i64p), out_score.ctypes.data_as(f64p),
+        nthreads or min(8, os.cpu_count() or 1),
+    )
+    return list(zip(out_len.tolist(), out_score.tolist()))
+
+
 def overlap_score(
     a: str, b: str, min_olen: int, min_score: float
 ) -> Tuple[int, float]:
     """get_overlap_length_and_score (src/assembly.cpp:523-610): slide b
     along a from every start; overlap = min(len(b), len(a)-start);
     best by (length, then score) among candidates with score >=
-    min_score and length >= min_olen."""
+    min_score and length >= min_olen.  Dispatches to the native scan
+    (cpp/overlapbest.cpp, bit-identical) when available; the numpy
+    sliding-window pass below doubles as the parity oracle."""
+    nat = _overlap_best_native(a, b, min_olen, min_score)
+    if nat is not None:
+        return nat
+    return _overlap_score_numpy(a, b, min_olen, min_score)
+
+
+def _overlap_score_numpy(
+    a: str, b: str, min_olen: int, min_score: float
+) -> Tuple[int, float]:
     la, lb = len(a), len(b)
     if la < min_olen or lb == 0:
         return 0, 0.0
@@ -653,18 +779,24 @@ def _window_first_hit(hay: np.ndarray, needle: np.ndarray,
 
 
 def is_subset(
-    a_seq: str, a_ids: Sequence[int], b_seq: str, b_ids: Sequence[int],
-    allowed: int = 1,
+    a_seq: str, a_ids: Sequence[int], b_seq: str, b_ids,
+    allowed: int = 1, b_enc: "Optional[np.ndarray]" = None,
+    a_enc: "Optional[np.ndarray]" = None,
 ) -> bool:
-    """isSubset (src/assembly.cpp:1063-1097)."""
+    """isSubset (src/assembly.cpp:1063-1097).  b_ids may be any
+    container supporting `in` (pass a set/dict on hot paths); b_enc /
+    a_enc skip re-encoding when the caller caches the byte arrays."""
     if len(a_seq) > len(b_seq):
         return False
-    bset = set(b_ids)
+    bset = b_ids if isinstance(b_ids, (set, frozenset, dict)) else set(b_ids)
     if a_ids and all(i in bset for i in a_ids):
         return True
     thresh = int(SIMILARITY * len(a_seq))
-    return _window_first_hit(_enc(b_seq), _enc(a_seq), allowed,
-                             thresh) >= 0
+    return _window_first_hit(
+        _enc(b_seq) if b_enc is None else b_enc,
+        _enc(a_seq) if a_enc is None else a_enc,
+        allowed, thresh,
+    ) >= 0
 
 
 def find_alignment_position(contig: str, read: str, allowed: int) -> int:
@@ -746,48 +878,72 @@ def find_overlaps(
     Large candidate sets score all pairs in one device batch
     (keelime_device.overlap_scores_batch, SURVEY §7.8) with identical
     results."""
-    g = GraphAss(len(frags))
+    n_frags = len(frags)
+    g = GraphAss(n_frags)
     overlap_map: Dict[Tuple[int, int], Tuple[int, float]] = {}
-    cache: Dict[Tuple[int, int], Tuple[int, float]] = {}
 
     def seq(i: int) -> str:
         return frags[i].ry if specified_deam else frags[i].seq
 
-    # enumerate the unique ordered pairs once
-    wanted: List[Tuple[int, int]] = []
-    seen = set()
+    # intern fragment content once: reads at the same position repeat,
+    # so pair dedup works on small int ids instead of long strings
+    content_id = np.zeros(n_frags, dtype=np.int64)
+    cmap: Dict[str, int] = {}
+    contents: List[str] = []
+    for i in range(n_frags):
+        s = seq(i)
+        cid = cmap.get(s)
+        if cid is None:
+            cid = len(contents)
+            cmap[s] = cid
+            contents.append(s)
+        content_id[i] = cid
+    C = len(contents)
+
+    # unique unordered frag pairs from the density map, as arrays
+    ii: List[int] = []
+    jj: List[int] = []
     for i, cands in density.items():
-        for j in cands:
-            for key in ((i, j), (j, i)):
-                if key not in seen:
-                    seen.add(key)
-                    wanted.append(key)
-    if len(wanted) >= DEVICE_OVERLAP_MIN_PAIRS:
+        ii.extend([i] * len(cands))
+        jj.extend(cands)
+    pi = np.asarray(ii, dtype=np.int64)
+    pj = np.asarray(jj, dtype=np.int64)
+    # distinct (content_i, content_j) in both orientations
+    ci = content_id[pi]
+    cj = content_id[pj]
+    keys = np.unique(
+        np.concatenate([ci * C + cj, cj * C + ci])
+    )
+    order = [(contents[int(k) // C], contents[int(k) % C]) for k in keys]
+    results_u = overlap_best_batch_native(order, min_olen, len_min)
+    if results_u is None:
         from .keelime_device import overlap_scores_batch
 
-        results = overlap_scores_batch(
-            [(seq(i), seq(j)) for i, j in wanted], min_olen, len_min
-        )
-        cache = dict(zip(wanted, results))
+        results_u = overlap_scores_batch(order, min_olen, len_min)
+    res_len = np.fromiter((r[0] for r in results_u), np.int64, len(order))
+    res_sc = np.fromiter((r[1] for r in results_u), np.float64, len(order))
+    k1 = np.searchsorted(keys, ci * C + cj)
+    k2 = np.searchsorted(keys, cj * C + ci)
+    l1, s1 = res_len[k1], res_sc[k1]
+    l2, s2 = res_len[k2], res_sc[k2]
+    pass1 = (l1 >= min_olen) & (s1 >= min_score)
+    pass2 = (l2 >= min_olen) & (s2 >= min_score)
+    any_pass = np.flatnonzero(pass1 | pass2)
 
-    def ov(i: int, j: int) -> Tuple[int, float]:
-        key = (i, j)
-        if key not in cache:
-            cache[key] = overlap_score(seq(i), seq(j), min_olen, len_min)
-        return cache[key]
-
-    for i, cands in density.items():
-        for j in cands:
-            r1 = ov(i, j)
-            r2 = ov(j, i)
-            end_i_in_j = frags[i].node_ids[-1] in frags[j].node_ids
-            end_j_in_i = frags[j].node_ids[-1] in frags[i].node_ids
-            if end_i_in_j and r1[0] >= min_olen and r1[1] >= min_score:
-                g.add_edge(i, j, r1[1])
-                overlap_map[(i, j)] = r1
-            if end_j_in_i and r2[0] >= min_olen and r2[1] >= min_score:
-                g.add_edge(j, i, r2[1])
-                overlap_map[(j, i)] = r2
+    id_sets = [None] * n_frags
+    for t in any_pass:
+        i = int(pi[t])
+        j = int(pj[t])
+        if id_sets[i] is None:
+            id_sets[i] = frozenset(frags[i].node_ids)
+        if id_sets[j] is None:
+            id_sets[j] = frozenset(frags[j].node_ids)
+        if pass1[t] and frags[i].node_ids[-1] in id_sets[j]:
+            g.add_edge(i, j, float(s1[t]))
+            overlap_map[(i, j)] = (int(l1[t]), float(s1[t]))
+        if pass2[t] and frags[j].node_ids[-1] in id_sets[i]:
+            g.add_edge(j, i, float(s2[t]))
+            overlap_map[(j, i)] = (int(l2[t]), float(s2[t]))
     return g, overlap_map
 
 
@@ -881,16 +1037,50 @@ def merge_all_paths(
     construction over the overlap DAG."""
     contigs: List[Contig] = []
     visited = set()
+    # pre-encode every fragment once; the contig's encoding refreshes
+    # only when it changes (native overlap/subset scans take arrays)
+    _lib = _ovb_lib()
+    f_seq_enc = [_enc(f.seq) for f in frags]
+    f_ry_enc = [_enc(f.ry) for f in frags] if specified_deam else None
     for start in range(len(g.adj)):
         if start in visited:
             continue
         f0 = frags[start]
         contig = f0.seq
         ry = f0.ry
+        contig_enc = _enc(contig)
+        ry_enc = _enc(ry) if specified_deam else None
+        # scoring/counts live in capacity-doubling buffers ([:cur] is
+        # the live region) so each merge appends amortized O(merged
+        # bases), not O(contig) reallocation; node_ids keeps a
+        # first-index map so common-node lookups cost O(|read ids|)
+        cur = len(f0.seq)
+        cap = max(256, 4 * cur)
+        sc_buf = np.zeros((cap, 5))
+        ct_buf = np.zeros((cap, 5), np.int64)
         with np.errstate(divide="ignore"):
-            scoring = np.log(f0.probs)
-        counts = f0.counts.copy()
+            sc_buf[:cur] = np.log(f0.probs)
+        ct_buf[:cur] = f0.counts
         node_ids = list(f0.node_ids)
+        idx_of = {nid: k for k, nid in enumerate(node_ids)}
+
+        def _ensure(n):
+            nonlocal cap, sc_buf, ct_buf
+            if n <= cap:
+                return
+            cap = max(2 * cap, n)
+            ns = np.zeros((cap, 5))
+            nc = np.zeros((cap, 5), np.int64)
+            ns[:cur] = sc_buf[:cur]
+            nc[:cur] = ct_buf[:cur]
+            sc_buf, ct_buf = ns, nc
+
+        def _extend_ids(ids):
+            for i in ids:
+                if i not in idx_of:
+                    idx_of[i] = len(node_ids)
+                    node_ids.append(i)
+
         finalcut = f0.cut
         q = deque([start])
         visited.add(start)
@@ -903,14 +1093,22 @@ def merge_all_paths(
                 if nb in visited:
                     continue
                 fn = frags[nb]
-                common = [i for i in node_ids if i in set(fn.node_ids)]
-                if not common:
+                cand_ids = [i for i in fn.node_ids if i in idx_of]
+                if not cand_ids:
                     continue
-                first_common = common[0]
-                pos_i = node_ids.index(first_common)
+                # first common id in node_ids order
+                first_common = min(cand_ids, key=lambda i: idx_of[i])
+                pos_i = idx_of[first_common]
                 pos_j = fn.node_ids.index(first_common)
 
-                if specified_deam:
+                if _lib is not None:
+                    ca, cb = (
+                        (ry_enc, f_ry_enc[nb]) if specified_deam
+                        else (contig_enc, f_seq_enc[nb])
+                    )
+                    bo = _overlap_best_native_arr(ca, cb, 1, len_min, _lib)
+                    bo2 = _overlap_best_native_arr(cb, ca, 1, len_min, _lib)
+                elif specified_deam:
                     bo = overlap_score(ry, fn.ry, 1, len_min)
                     bo2 = overlap_score(fn.ry, ry, 1, len_min)
                 else:
@@ -918,34 +1116,47 @@ def merge_all_paths(
                     bo2 = overlap_score(fn.seq, contig, 1, len_min)
 
                 # subset absorption (src/assembly.cpp:1232-1344)
-                nb_sub = is_subset(fn.seq, fn.node_ids, contig, node_ids, 0)
-                ct_sub = is_subset(contig, node_ids, fn.seq, fn.node_ids, 0)
+                nb_sub = is_subset(fn.seq, fn.node_ids, contig, idx_of,
+                                   0, b_enc=contig_enc,
+                                   a_enc=f_seq_enc[nb])
+                ct_sub = is_subset(contig, node_ids, fn.seq,
+                                   fn.node_ids, 0, b_enc=f_seq_enc[nb],
+                                   a_enc=contig_enc)
                 if (
                     bo[0] == len(fn.seq) or bo[0] == len(contig)
                 ) and (nb_sub or ct_sub):
                     if ct_sub:
-                        old_contig, old_counts = contig, counts
+                        old_contig = contig
+                        old_cur = cur
+                        old_counts = ct_buf[:cur].copy()
                         contig, ry = fn.seq, fn.ry
+                        contig_enc = f_seq_enc[nb]
+                        ry_enc = f_ry_enc[nb] if specified_deam else None
                         node_ids = list(fn.node_ids)
+                        idx_of = {
+                            nid: k for k, nid in enumerate(node_ids)
+                        }
+                        cur = len(fn.seq)
+                        _ensure(cur)
                         with np.errstate(divide="ignore"):
-                            scoring = np.log(fn.probs)
-                        counts = fn.counts.copy()
+                            sc_buf[:cur] = np.log(fn.probs)
+                        ct_buf[:cur] = fn.counts
+                        if cur < old_cur:
+                            # later merges += into rows past cur; keep
+                            # the shrunk tail zeroed
+                            ct_buf[cur:old_cur] = 0
                         off = find_alignment_position(fn.seq, old_contig, 1)
                         if off >= 0:
-                            end = min(len(contig), off + len(old_contig))
-                            counts[off:end] += old_counts[: end - off]
-                        for i in fn.node_ids:
-                            if i not in node_ids:
-                                node_ids.append(i)
+                            end = min(cur, off + len(old_contig))
+                            ct_buf[off:end] += old_counts[: end - off]
+                        _extend_ids(fn.node_ids)
                     else:
                         pos = find_alignment_position(contig, fn.seq, 1)
                         if pos >= 0:
                             for i, c in enumerate(fn.seq):
-                                if pos + i < len(contig) and c in _B5:
-                                    counts[pos + i, _B5[c]] += 1
-                        for i in fn.node_ids:
-                            if i not in node_ids:
-                                node_ids.append(i)
+                                if pos + i < cur and c in _B5:
+                                    ct_buf[pos + i, _B5[c]] += 1
+                        _extend_ids(fn.node_ids)
                     visited.add(nb)
                     continue
 
@@ -984,38 +1195,51 @@ def merge_all_paths(
                     new_ry = fn.ry + ry[olen:]
                     with np.errstate(divide="ignore"):
                         rsc = np.log(fn.probs)
-                    scoring = np.concatenate([rsc, scoring[olen:]])
-                    new_counts = np.zeros((len(new_seq), 5), np.int64)
-                    new_counts[:rl] = fn.counts
-                    new_counts[rl - olen :] += counts
-                    counts = new_counts
+                    new_len = rl + cur - olen
+                    new_sc = np.zeros((max(cap, new_len), 5))
+                    new_ct = np.zeros((max(cap, new_len), 5), np.int64)
+                    new_sc[:rl] = rsc
+                    new_sc[rl:new_len] = sc_buf[olen:cur]
+                    new_ct[:rl] = fn.counts
+                    new_ct[rl - olen : new_len] += ct_buf[:cur]
+                    sc_buf, ct_buf = new_sc, new_ct
+                    cap = len(sc_buf)
+                    cur = new_len
                     contig, ry = new_seq, new_ry
+                    contig_enc = _enc(contig)
+                    ry_enc = _enc(ry) if specified_deam else None
                     finalcut = _merge_cut(finalcut, fn.cut) or finalcut
-                    for i in fn.node_ids:
-                        if i not in node_ids:
-                            node_ids.append(i)
+                    _extend_ids(fn.node_ids)
                 else:
                     # contig-first merge (src/assembly.cpp:1449-1509)
                     olen = bo[0]
                     if not _ry_gate(contig, fn.seq, olen):
                         continue
-                    new_part = fn.seq[olen:]
-                    start_idx = len(contig)
-                    contig = contig + new_part
+                    rl = len(fn.seq)
+                    start_idx = cur
+                    contig = contig + fn.seq[olen:]
                     ry = ry + fn.ry[olen:]
+                    contig_enc = np.concatenate(
+                        [contig_enc, f_seq_enc[nb][olen:]]
+                    )
+                    if specified_deam:
+                        ry_enc = np.concatenate(
+                            [ry_enc, f_ry_enc[nb][olen:]]
+                        )
                     with np.errstate(divide="ignore"):
                         rsc = np.log(fn.probs)
-                    scoring = np.concatenate([scoring, rsc[olen:]])
-                    new_counts = np.zeros((len(contig), 5), np.int64)
-                    new_counts[: start_idx] = counts
-                    new_counts[start_idx - olen :] += fn.counts
-                    counts = new_counts
+                    _ensure(cur + rl - olen)
+                    sc_buf[cur : cur + rl - olen] = rsc[olen:]
+                    ct_buf[start_idx - olen : start_idx - olen + rl] += (
+                        fn.counts
+                    )
+                    cur += rl - olen
                     finalcut = _merge_cut(finalcut, fn.cut) or finalcut
-                    for i in fn.node_ids:
-                        if i not in node_ids:
-                            node_ids.append(i)
+                    _extend_ids(fn.node_ids)
                 visited.add(nb)
                 q.append(nb)
+        counts = ct_buf[:cur].copy()
+        scoring = sc_buf[:cur].copy()
         contig = _majority_correct(contig, counts)
         contigs.append(Contig(contig, ry, scoring, counts, node_ids,
                               finalcut))

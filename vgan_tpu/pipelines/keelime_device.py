@@ -96,13 +96,14 @@ def overlap_scores_batch(
             B[n, : len(eb)] = eb
             la[n] = len(ea)
             lb[n] = len(eb)
+        # f32 download is exact: scores are multiples of 0.5 bounded by
+        # 12*Lb, far under the 2^24 integer range
         S = np.asarray(
             _overlap_scores_device(
                 jnp.asarray(A), jnp.asarray(B),
                 jnp.asarray(la), jnp.asarray(lb), table,
-            ),
-            dtype=np.float64,
-        )[:nb]  # [nb, La]
+            )
+        )[:nb].astype(np.float64)  # [nb, La]
         starts = np.arange(La)
         olen = np.minimum(lb[:nb, None], la[:nb, None] - starts[None, :])
         ok = (
@@ -110,15 +111,16 @@ def overlap_scores_batch(
             & (S >= min_score)
             & (starts[None, :] <= (la[:nb, None] - min_olen))
         )
-        # maximize olen then score: lexicographic via a large multiplier
-        # would lose float exactness — do it in two passes instead
-        for n in range(nb):
-            cand = np.flatnonzero(ok[n])
-            if not len(cand):
-                out.append((0, 0.0))
-                continue
-            best_len = olen[n, cand].max()
-            at = cand[olen[n, cand] == best_len]
-            out.append((int(best_len), float(S[n, at].max())))
+        # maximize olen then score, fully vectorized: first the longest
+        # qualifying olen per row, then the best score at that olen
+        ol_ok = np.where(ok, olen, -1)
+        best_len = ol_ok.max(axis=1)  # -1 when no qualifier
+        at_best = ok & (olen == best_len[:, None])
+        sc = np.where(at_best, S, -np.inf).max(axis=1)
+        has = best_len >= 0
+        out.extend(
+            (int(l), float(s)) if h else (0, 0.0)
+            for h, l, s in zip(has, best_len, sc)
+        )
         i += chunk
     return out
