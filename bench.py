@@ -305,19 +305,44 @@ def bench_haplocart_realdb():
         for r in reads:
             qual = bytes(q + 33 for q in r.qual).decode()
             f.write(f"@{r.name}\n{r.seq}\n+\n{qual}\n")
+    # host oracle at REAL path-axis scale on a read subset (the
+    # per-read x 5,179-path f64 loop is O(paths): 8k reads would take
+    # ~10 min; the subset keeps the protocol identical on both sides)
+    n_oracle = 50 if _SMOKE else 250
+    fd2, fq_small = tempfile.mkstemp(suffix=".fq")
+    with os.fdopen(fd2, "w") as f:
+        for r in reads[:n_oracle]:
+            qual = bytes(q + 33 for q in r.qual).decode()
+            f.write(f"@{r.name}\n{r.seq}\n+\n{qual}\n")
     try:
         cfg = HaplocartConfig(db_dir="", fq1=fq, quiet=True)
         run_sample(cfg, db, mapper, "warm")
+        dt = math.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pred_d, _n, vec_d = run_sample(cfg, db, mapper, "bench")
+            dt = min(dt, time.perf_counter() - t0)
+        e2e_rps = len(reads) / dt
+
+        cfg_p = HaplocartConfig(db_dir="", fq1=fq_small, quiet=True,
+                                precise=True)
         t0 = time.perf_counter()
-        run_sample(cfg, db, mapper, "bench")
-        e2e_rps = len(reads) / (time.perf_counter() - t0)
+        pred_p, _n, vec_p = run_sample(cfg_p, db, mapper, "precise")
+        host_rps = n_oracle / (time.perf_counter() - t0)
+        # same argmax on the oracle's own subset
+        cfg_ds = HaplocartConfig(db_dir="", fq1=fq_small, quiet=True)
+        pred_ds, _n, vec_ds = run_sample(cfg_ds, db, mapper, "sub")
+        agree = (pred_ds == pred_p) and (
+            int(np.argmax(vec_ds)) == int(np.argmax(vec_p))
+        )
     finally:
         os.unlink(fq)
+        os.unlink(fq_small)
     t0 = time.perf_counter()
     out = mapper.map_reads_table(reads)
     map_rps = len(reads) / (time.perf_counter() - t0)
     assert int((out.identity != 0).sum()) == len(reads)
-    return e2e_rps, map_rps, n_haps
+    return e2e_rps, map_rps, n_haps, host_rps, agree
 
 
 def bench_euka_realdb():
@@ -429,19 +454,50 @@ def bench_soibean_e2e():
     reads = sample_reads(graph, 1, n_reads=n_reads, seed=1)
     freqs = sb.make_freqs(0.25, 0.25, 0.25, 0.25)
 
+    stages = {}
+
     def run(tag):
+        t0 = time.perf_counter()
         table = mapper.map_reads_table(reads)
+        t1 = time.perf_counter()
         stats = sb.analyse_table(graph, table)
+        t2 = time.perf_counter()
         run_soibean_inference(
             tree, stats, graph.path_names, freqs, tag,
             n_iter=SOIBEAN_ITERS, burnin=SOIBEAN_BURN, chains=4,
             specified_k=1, write_files=False,
         )
+        t3 = time.perf_counter()
+        stages.update(map_s=t1 - t0, precompute_s=t2 - t1,
+                      mcmc_s=t3 - t2)
+        return stats
 
     run("warm")
     t0 = time.perf_counter()
-    run("bench")
-    return len(reads) / (time.perf_counter() - t0)
+    stats = run("bench")
+    dt = time.perf_counter() - t0
+    # host anchor for the MCMC: one numpy likelihood recompute per
+    # iteration over the same [R, P, 25] tensors — the per-iteration
+    # reads x bases scan the reference re-runs 500k times
+    # (`src/MCMC.cpp:739-740`); chains sequential like the reference
+    pm = stats.path_map
+    c25 = stats.counts25
+    rng = np.random.default_rng(0)
+    hv = rng.standard_normal(25)
+    n_host_iter = 50 if _SMOKE else 500
+    th0 = time.perf_counter()
+    for it in range(n_host_iter):
+        c = it % pm.shape[1]
+        p = (it + 1) % pm.shape[1]
+        llc = pm[:, c] + c25[:, c, :] @ hv
+        llp = pm[:, p] + c25[:, p, :] @ hv
+        np.logaddexp(np.log(0.5) + llc, np.log(0.5) + llp).sum()
+    host_iters_per_s = 4 * n_host_iter / (time.perf_counter() - th0)
+    stages["mcmc_host_iters_per_s"] = host_iters_per_s
+    stages["mcmc_iters_per_s"] = (
+        (SOIBEAN_ITERS + 1) * 4 / stages["mcmc_s"]
+    )
+    return len(reads) / dt, stages
 
 
 def bench_keelime_e2e(graph, mapper, reads):
@@ -620,9 +676,10 @@ def main():
     _note("keelime e2e")
     keelime_rps = bench_keelime_e2e(graph, mapper, reads)
     _note("soibean e2e")
-    soibean_rps = bench_soibean_e2e()
+    soibean_rps, sb_stages = bench_soibean_e2e()
     _note("haplocart real-DB scale")
-    hc_real_rps, map_real_rps, n_haps = bench_haplocart_realdb()
+    (hc_real_rps, map_real_rps, n_haps, hc_real_host_rps,
+     hc_real_agree) = bench_haplocart_realdb()
     _note("euka real-DB scale")
     euka_real_rps, n_taxa = bench_euka_realdb()
     _note("multihost 2-proc ratio")
@@ -638,10 +695,14 @@ def main():
         "argmax_agrees": bool(e2e_agree),
         "mapping_reads_per_s": round(map_rps, 1),
         "mapping_rate": round(map_rate, 4),
-        # real-DB-scale shapes (VERDICT r2 #2)
+        # real-DB-scale shapes (VERDICT r2 #2; r3 #1 adds the host
+        # oracle ratio at the 5,179-path scale)
         "hc_realdb_e2e_reads_per_s": round(hc_real_rps, 1),
         "hc_realdb_mapping_reads_per_s": round(map_real_rps, 1),
         "hc_realdb_paths": n_haps,
+        "hc_realdb_host_oracle_reads_per_s": round(hc_real_host_rps, 1),
+        "hc_realdb_vs_baseline": round(hc_real_rps / hc_real_host_rps, 2),
+        "hc_realdb_argmax_agrees": bool(hc_real_agree),
         "euka_realdb_e2e_reads_per_s": round(euka_real_rps, 1),
         "euka_realdb_taxa": n_taxa,
         "multihost_2proc_wallclock_ratio": round(mh_ratio, 2),
@@ -649,7 +710,23 @@ def main():
         "device_vs_numpy": round(dev_rps / dev_cpu_rps, 2),
         "device_argmax_agrees": bool(dev_agree),
         "euka_e2e_reads_per_s": round(euka_rps, 1),
+        # soibean e2e + its per-stage split (VERDICT r3 #3): the MCMC
+        # is a fixed ~500k x 4-chain cost at reference defaults, so
+        # reads/s mostly measures iteration count; the split lets each
+        # stage be judged on its own
         "soibean_e2e_reads_per_s": round(soibean_rps, 1),
+        "soibean_map_s": round(sb_stages["map_s"], 2),
+        "soibean_precompute_s": round(sb_stages["precompute_s"], 2),
+        "soibean_precompute_reads_per_s": round(
+            (200 if _SMOKE else 2000) / sb_stages["precompute_s"], 1
+        ),
+        "soibean_mcmc_s": round(sb_stages["mcmc_s"], 2),
+        "soibean_mcmc_e2e_iters_per_s": round(
+            sb_stages["mcmc_iters_per_s"], 1
+        ),
+        "soibean_mcmc_host_iters_per_s": round(
+            sb_stages["mcmc_host_iters_per_s"], 1
+        ),
         "keelime_e2e_reads_per_s": round(keelime_rps, 1),
         "euka_mcmc_iters_per_s": round(euka_ips, 1),
         "soibean_mcmc_iters_per_s": round(soibean_ips, 1),

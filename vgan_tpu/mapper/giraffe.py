@@ -491,7 +491,8 @@ class BatchedMapper(Mapper):
         ).to_alignments()
 
     def map_reads_table(self, reads, max_candidates: int = 8,
-                        pad: int = 24, chunk: int = 4096):
+                        pad: int = 24, chunk: int = 4096,
+                        depth: int = 3):
         """Batch mapping with columnar output (batch_map.AlignmentTable)
         — the production form consumed by the haplocart columnar
         pipeline (pipelines/hc_columnar.py); no per-read Python objects
@@ -508,7 +509,8 @@ class BatchedMapper(Mapper):
                 self._map_reads_obj(reads, max_candidates, pad)
             )
         return batch_map.AlignmentTable.concat(
-            list(self.map_table_chunks(reads, max_candidates, pad, chunk))
+            list(self.map_table_chunks(reads, max_candidates, pad, chunk,
+                                       depth))
         )
 
     def map_table_chunks(self, reads, max_candidates: int = 8,

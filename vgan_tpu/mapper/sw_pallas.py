@@ -18,18 +18,21 @@ Scoring matches mapper/align.py: match +1, mismatch -4, gap open 6,
 gap extend 1, full-length bonus 5 at the read's first row (in-DP) and
 last row (at the max reduction).
 
-ROOFLINE (v5e, measured round 3). The recurrence costs ~46 VPU f32
-ops per DP cell: score 4, diag 5, E 3, H 3, exact-F prefix max
+ROOFLINE (v5e; pinned protocol = bench.py best-of-3, the number the
+round artifact BENCH_r{N}.json records). The recurrence costs ~46 VPU
+f32 ops per DP cell: score 4, diag 5, E 3, H 3, exact-F prefix max
 3*ceil(log2 R) = 21 (the dominant term), F-combine 6, masking 3,
 best-reduce ~1. One v5e core's VPU peak is ~3.85e12 f32 ops/s
-(4 SIMD subunits x (8x128) lanes x 940 MHz). Round-3 measured 43.6
-GCUPS (after unrolling 4 columns per scan step, which cut the carry
-load/store per column ~4x) => 43.6e9 * 46 = 2.0e12 ops/s = ~52% of
-VPU speed-of-light; the remaining gap is the serial column scan's
+(4 SIMD subunits x (8x128) lanes x 940 MHz). BENCH_r03 pinned
+37.0 GCUPS => 37.0e9 * 46 = 1.7e12 ops/s = ~44% of VPU
+speed-of-light (ad-hoc runs on the tunneled device spread up to
+~20% above that — always quote the pinned bench artifact, not
+one-off runs). The gap to peak is the serial column scan's
 load/store of the [R+1, B] carry between unrolled blocks (HBM/VMEM
-traffic XLA cannot fully fuse). A Pallas grid version would keep the
+traffic XLA cannot fully fuse); unrolling 4 columns per scan step
+already cut that traffic ~4x. A Pallas grid version would keep the
 carry resident in VMEM — the axon remote compiler still cannot
-compile gridded Pallas (re-tested round 3: the remote tpu_compile
+compile gridded Pallas (re-tested round 4: the remote tpu_compile
 helper exits 1 / HTTP 500 on this kernel), so the XLA scan twin below
 remains the production path and the Pallas kernel is validated in
 interpret mode.
