@@ -306,3 +306,44 @@ def test_plot_subcommands(tiny_euka_db, tmp_path, capsys):
     rc = cli.main(["plot-k", str(tmp_path / "sb")])
     assert rc == 0
     assert os.path.exists(str(tmp_path / "sbkCurve.png"))
+
+
+def test_plot_tree_posterior(tmp_path):
+    """soibeanPlots.R twin: posterior-mass-on-tree figure renders from
+    a Result trace + Newick topology, offline (no GenBank lookup)."""
+    import gzip
+    import os
+
+    import numpy as np
+    import pytest
+
+    pytest.importorskip("matplotlib")
+
+    tree = tmp_path / "mydb.new.dnd"
+    tree.write_text(
+        "((speciesA:0.2,speciesB:0.25)N1:0.3,"
+        "(speciesC:0.22,speciesD:0.18)N2:0.28)N3;"
+    )
+    rng = np.random.default_rng(1)
+    p = tmp_path / "sbResult21.mcmc"
+    with gzip.open(p, "wt") as f:
+        f.write(
+            "".join(
+                f"Source_{s+1}\tLog-likelihood\tproportion\t"
+                "branch_position_derived\t"
+                for s in range(2)
+            )
+            + "\n"
+        )
+        for it in range(80):
+            ll = -500 + it
+            f.write(
+                f"speciesB\t{ll:.6g}\t{rng.random():.6g}\t"
+                f"{rng.random():.6g}\t"
+                f"N1\t{ll:.6g}\t{rng.random():.6g}\t"
+                f"{rng.random():.6g}\n"
+            )
+    rc = cli.main(["plot-tree-posterior", str(p), str(tree)])
+    assert rc == 0
+    assert os.path.exists(str(p) + ".tree.png")
+    assert os.path.getsize(str(p) + ".tree.png") > 10000

@@ -112,7 +112,7 @@ def main(argv: List[str] | None = None) -> int:
     if cmd == "map":
         return cmd_map(rest)
     if cmd in ("plot-taxon", "plot-detected", "plot-trace", "plot-k",
-               "tree-from-output"):
+               "plot-tree-posterior", "tree-from-output"):
         return cmd_plot(cmd, rest)
     if cmd == "bench":
         import runpy
@@ -639,6 +639,7 @@ def cmd_plot(cmd: str, args: List[str]) -> int:
       plot-detected <prefix>         visualize_detected_taxa.sh
       plot-trace <file> [burnin]     soibeanPlotTrace.R
       plot-k <prefix>                soibeanPlotk.R
+      plot-tree-posterior <trace.mcmc> <tree.dnd>  soibeanPlots.R
       tree-from-output <abundance.tsv>  make_tree_from_output.py
     """
     from .viz import plots
@@ -664,6 +665,12 @@ def cmd_plot(cmd: str, args: List[str]) -> int:
             if len(args) < 1:
                 raise SystemExit("usage: vgan plot-k prefix")
             out = plots.plot_k(args[0])
+        elif cmd == "plot-tree-posterior":
+            if len(args) < 2:
+                raise SystemExit(
+                    "usage: vgan plot-tree-posterior trace.mcmc tree.dnd"
+                )
+            out = plots.plot_tree_posterior(args[0], args[1])
         else:
             if len(args) < 1:
                 raise SystemExit(

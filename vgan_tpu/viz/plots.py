@@ -301,3 +301,121 @@ def tree_from_output(abundance_tsv: str, out=None) -> str:
     for x in lines:
         out.write(x + "\n")
     return "\n".join(lines)
+
+
+def _tree_layout(tree):
+    """ggtree-style rectangular layout: leaves evenly spaced on y (in
+    tip order), internal y = mean of children, x = cumulative branch
+    length from the root. Returns (x [n], y [n])."""
+    n = tree.n_nodes
+    x = np.zeros(n)
+    y = np.zeros(n)
+    order = []  # post-order
+
+    def walk(i, depth):
+        x[i] = depth
+        kids = [int(c) for c in tree.children[i][: tree.n_children[i]]]
+        for c in kids:
+            walk(c, depth + float(tree.dist[c]))
+        order.append(i)
+
+    walk(tree.root, 0.0)
+    next_leaf = [0]
+    for i in order:
+        if tree.is_leaf(i):
+            y[i] = next_leaf[0]
+            next_leaf[0] += 1
+    for i in order:
+        if not tree.is_leaf(i):
+            kids = tree.children[i][: tree.n_children[i]]
+            y[i] = float(np.mean([y[int(c)] for c in kids]))
+    return x, y
+
+
+def plot_tree_posterior(trace_file: str, tree_file: str,
+                        out: Optional[str] = None) -> str:
+    """Offline twin of soibeanPlots.R's combo tree figure
+    (`share/vgan/plottingScripts/soibeanPlots.R:54-230`): posterior
+    samples from a Result<k><chain>.mcmc trace drawn on the Newick
+    tree — each sample lands on its source's branch at
+    x = parent_x + branch_position * branch_len, nudged vertically by
+    its log-likelihood relative to the trace median (the R script's
+    +/-0.2 jitter), colored by log-likelihood and sized by log1p of
+    the (position, source) sample frequency. The R original resolves
+    tip accessions to scientific names via GenBank (rentrez) — a
+    network call replaced here by the raw tip labels (no egress).
+    Writes <trace_file>.tree.png."""
+    from ..utils.newick import read_newick
+
+    plt = _plt()
+    tree = read_newick(tree_file)
+    idx = tree.name_to_index()
+    x, y = _tree_layout(tree)
+    names, ll, theta, pos = _read_trace(trace_file)
+    k = theta.shape[1] if theta.ndim == 2 else 1
+
+    fig, ax = plt.subplots(
+        figsize=(10, max(4, 0.4 * tree.n_leaves + 2))
+    )
+    # tree edges (rectangular): vertical connector + horizontal branch
+    for i in range(tree.n_nodes):
+        p = int(tree.parent[i])
+        if p < 0:
+            continue
+        ax.plot([x[p], x[p]], [y[p], y[i]], color=C_GREY, lw=1, zorder=1)
+        ax.plot([x[p], x[i]], [y[i], y[i]], color=C_GREY, lw=1, zorder=1)
+    for i in range(tree.n_nodes):
+        if tree.is_leaf(i):
+            ax.annotate(tree.names[i], (x[i], y[i]),
+                        xytext=(4, 0), textcoords="offset points",
+                        va="center", fontsize=8)
+        elif tree.names[i]:
+            ax.annotate(tree.names[i], (x[i], y[i]),
+                        xytext=(2, 3), textcoords="offset points",
+                        fontsize=6, color="#666666")
+
+    # posterior sample points per source
+    med = float(np.median(ll)) if len(ll) else 0.0
+    max_diff = float(np.max(np.abs(ll - med))) if len(ll) else 1.0
+    max_diff = max_diff or 1.0
+    pts_x, pts_y, pts_ll = [], [], []
+    freq: dict = {}
+    for it in range(len(ll)):
+        for s in range(k):
+            nm = names[it][s]
+            if nm not in idx:
+                continue
+            i = idx[nm]
+            p = int(tree.parent[i])
+            x0 = x[p] if p >= 0 else 0.0
+            px = x0 + float(pos[it, s]) * (x[i] - x0)
+            jitter = (abs(ll[it] - med) / max_diff) * 0.2
+            py = y[i] - jitter if ll[it] < med else y[i] + jitter
+            key = (s, round(float(pos[it, s]), 10), nm)
+            freq[key] = freq.get(key, 0) + 1
+            pts_x.append(px)
+            pts_y.append(py)
+            pts_ll.append((ll[it], key))
+    if pts_x:
+        sizes = np.array(
+            [10 + 20 * np.log1p(freq[key]) for _l, key in pts_ll]
+        )
+        colors = np.array([l for l, _k in pts_ll])
+        from matplotlib.colors import LinearSegmentedColormap
+
+        cmap = LinearSegmentedColormap.from_list(
+            "soibean", ["grey", "yellow", "orange", "red"]
+        )
+        sc = ax.scatter(pts_x, pts_y, c=colors, s=sizes, cmap=cmap,
+                        alpha=0.5, zorder=3, linewidths=0)
+        cb = fig.colorbar(sc, ax=ax, orientation="horizontal",
+                          pad=0.08, fraction=0.05)
+        cb.set_label("Log-likelihood")
+    ax.set_yticks([])
+    ax.set_xlabel("branch length")
+    ax.spines[["left", "top", "right"]].set_visible(False)
+    fig.tight_layout()
+    out = out or trace_file + ".tree.png"
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
