@@ -299,7 +299,11 @@ def bench_haplocart_realdb():
     )
     db = _db_from_graph(graph)
     mapper = BatchedMapper(graph, k=31, w=11)
-    reads = sample_reads(graph, 5, n_reads=N_READS_REAL, seed=0)
+    # mapping measures on 2x the e2e read count so the streaming
+    # pipeline (4 chunks) reaches steady state instead of paying the
+    # fill/drain on a 2-chunk run
+    all_reads = sample_reads(graph, 5, n_reads=2 * N_READS_REAL, seed=0)
+    reads = all_reads[:N_READS_REAL]
     fd, fq = tempfile.mkstemp(suffix=".fq")
     with os.fdopen(fd, "w") as f:
         for r in reads:
@@ -338,10 +342,13 @@ def bench_haplocart_realdb():
     finally:
         os.unlink(fq)
         os.unlink(fq_small)
-    t0 = time.perf_counter()
-    out = mapper.map_reads_table(reads)
-    map_rps = len(reads) / (time.perf_counter() - t0)
-    assert int((out.identity != 0).sum()) == len(reads)
+    dt = math.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = mapper.map_reads_table(all_reads)
+        dt = min(dt, time.perf_counter() - t0)
+    map_rps = len(all_reads) / dt
+    assert int((out.identity != 0).sum()) == len(all_reads)
     return e2e_rps, map_rps, n_haps, host_rps, agree
 
 

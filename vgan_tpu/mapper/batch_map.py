@@ -136,92 +136,119 @@ def _p(a, t):
 
 
 # ---------------------------------------------------------------- pools
-class NativePools:
-    """Concatenated per-path code/step pools shared with the C++ call.
+class PoolSnapshot:
+    """Immutable view of the pooled path arrays at one point in time.
 
-    Grows lazily as paths are touched; rebuilt (cheap concat) only when
-    a new path appears."""
+    Holders (including a finalize running on a worker thread while the
+    main thread submits the next chunk) stay consistent even if the
+    pools rebuild afterwards — a rebuild makes a NEW snapshot and never
+    mutates an existing one."""
 
-    def __init__(self, graph, path_cache):
-        self.graph = graph
-        self.codes = path_cache  # path -> codes (shared with mapper)
-        self._steps = {}
-        self._dirty = True
-        self.node_len = np.ascontiguousarray(
-            np.diff(graph.node_off).astype(np.int64)
-        )
-        n_paths = graph.n_paths
-        self.pc_beg = np.zeros(n_paths, dtype=np.int64)
-        self.pc_len = np.zeros(n_paths, dtype=np.int64)
-        self.st_beg = np.zeros(n_paths, dtype=np.int64)
-        self.st_cnt = np.zeros(n_paths, dtype=np.int64)
-        self.pc_buf = np.zeros(0, dtype=np.uint8)
-        self.ps_node = np.zeros(0, dtype=np.int32)
-        self.ps_rev = np.zeros(0, dtype=np.uint8)
-        self.ps_start = np.zeros(0, dtype=np.int64)
-        self._dev_pc = None
-
-    def ensure(self, paths) -> None:
-        g = self.graph
-        for p in paths:
-            p = int(p)
-            if p not in self.codes:
-                self.codes[p] = _path_codes(g, p)
-                self._dirty = True
-            if p not in self._steps:
-                self._steps[p] = (
-                    np.ascontiguousarray(g.path_steps_node[p], dtype=np.int32),
-                    np.ascontiguousarray(
-                        g.path_steps_rev[p], dtype=np.uint8
-                    ),
-                    np.ascontiguousarray(g.step_offsets(p), dtype=np.int64),
-                )
-                self._dirty = True
-
-    def arrays(self):
-        if self._dirty:
-            keys = sorted(self._steps)
-            pc_parts, sn_parts, sr_parts, ss_parts = [], [], [], []
-            pc_pos = st_pos = 0
-            for p in keys:
-                c = self.codes[p]
-                sn, sr, ss = self._steps[p]
-                self.pc_beg[p] = pc_pos
-                self.pc_len[p] = len(c)
-                self.st_beg[p] = st_pos
-                self.st_cnt[p] = len(sn)
-                pc_pos += len(c)
-                st_pos += len(sn)
-                pc_parts.append(c)
-                sn_parts.append(sn)
-                sr_parts.append(sr)
-                ss_parts.append(ss)
-            self.pc_buf = (
-                np.ascontiguousarray(np.concatenate(pc_parts))
-                if pc_parts
-                else np.zeros(0, dtype=np.uint8)
-            )
-            self.ps_node = (
-                np.concatenate(sn_parts) if sn_parts else np.zeros(0, np.int32)
-            )
-            self.ps_rev = (
-                np.concatenate(sr_parts) if sr_parts else np.zeros(0, np.uint8)
-            )
-            self.ps_start = (
-                np.concatenate(ss_parts) if ss_parts else np.zeros(0, np.int64)
-            )
-            self._dirty = False
-            self._dev_pc = None
-        return self
+    __slots__ = (
+        "pc_buf", "pc_beg", "pc_len", "st_beg", "st_cnt",
+        "ps_node", "ps_rev", "ps_start", "node_len", "_dev_pc",
+    )
 
     def device_pc(self):
-        """pc_buf resident on device, cached across batches (rebuilt
+        """pc_buf resident on device, cached on the snapshot (rebuilt
         only when a new path is touched)."""
         if self._dev_pc is None:
             import jax
 
             self._dev_pc = jax.device_put(self.pc_buf)
         return self._dev_pc
+
+
+class NativePools:
+    """Concatenated per-path code/step pools shared with the C++ call.
+
+    Grows lazily as paths are touched; rebuilt (cheap concat) only when
+    a new path appears. ensure/arrays are lock-guarded so the streaming
+    pipeline may finalize one chunk on a worker thread while the main
+    thread seeds the next."""
+
+    def __init__(self, graph, path_cache):
+        import threading
+
+        self.graph = graph
+        self.codes = path_cache  # path -> codes (shared with mapper)
+        self._steps = {}
+        self._dirty = True
+        self._lock = threading.Lock()
+        self._snap = None
+        self.node_len = np.ascontiguousarray(
+            np.diff(graph.node_off).astype(np.int64)
+        )
+
+    def ensure(self, paths) -> None:
+        g = self.graph
+        with self._lock:
+            for p in paths:
+                p = int(p)
+                if p not in self.codes:
+                    self.codes[p] = _path_codes(g, p)
+                    self._dirty = True
+                if p not in self._steps:
+                    self._steps[p] = (
+                        np.ascontiguousarray(
+                            g.path_steps_node[p], dtype=np.int32
+                        ),
+                        np.ascontiguousarray(
+                            g.path_steps_rev[p], dtype=np.uint8
+                        ),
+                        np.ascontiguousarray(
+                            g.step_offsets(p), dtype=np.int64
+                        ),
+                    )
+                    self._dirty = True
+
+    def arrays(self) -> PoolSnapshot:
+        with self._lock:
+            if self._dirty or self._snap is None:
+                n_paths = self.graph.n_paths
+                s = PoolSnapshot()
+                s.pc_beg = np.zeros(n_paths, dtype=np.int64)
+                s.pc_len = np.zeros(n_paths, dtype=np.int64)
+                s.st_beg = np.zeros(n_paths, dtype=np.int64)
+                s.st_cnt = np.zeros(n_paths, dtype=np.int64)
+                s.node_len = self.node_len
+                s._dev_pc = None
+                keys = sorted(self._steps)
+                pc_parts, sn_parts, sr_parts, ss_parts = [], [], [], []
+                pc_pos = st_pos = 0
+                for p in keys:
+                    c = self.codes[p]
+                    sn, sr, ss = self._steps[p]
+                    s.pc_beg[p] = pc_pos
+                    s.pc_len[p] = len(c)
+                    s.st_beg[p] = st_pos
+                    s.st_cnt[p] = len(sn)
+                    pc_pos += len(c)
+                    st_pos += len(sn)
+                    pc_parts.append(c)
+                    sn_parts.append(sn)
+                    sr_parts.append(sr)
+                    ss_parts.append(ss)
+                s.pc_buf = (
+                    np.ascontiguousarray(np.concatenate(pc_parts))
+                    if pc_parts
+                    else np.zeros(0, dtype=np.uint8)
+                )
+                s.ps_node = (
+                    np.concatenate(sn_parts)
+                    if sn_parts else np.zeros(0, np.int32)
+                )
+                s.ps_rev = (
+                    np.concatenate(sr_parts)
+                    if sr_parts else np.zeros(0, np.uint8)
+                )
+                s.ps_start = (
+                    np.concatenate(ss_parts)
+                    if ss_parts else np.zeros(0, np.int64)
+                )
+                self._dirty = False
+                self._snap = s
+            return self._snap
 
 
 def _pack_window(win):

@@ -39,6 +39,11 @@ from .align import FULL_LENGTH_BONUS
 from .index import MinimizerIndex, _path_codes, _step_offsets
 
 
+# stream collect+finalize on a worker thread in map_table_chunks
+# (module flag so benchmarks can A/B within one process)
+OVERLAP_FINALIZE = True
+
+
 @dataclass
 class Candidate:
     path: int
@@ -536,21 +541,51 @@ class BatchedMapper(Mapper):
                                             pad)
             yield batch_map.finalize_table(self, reads, br)
             return
+        # collect+finalize can run on a worker thread (the native
+        # finalize releases the GIL), so chunk i's host finalize
+        # overlaps chunk i+1's host seeding on the 2-core host in
+        # addition to the device overlap; FIFO futures keep read order
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not hasattr(self, "_fin_pool"):
+            self._fin_pool = ThreadPoolExecutor(1)
+
+        def _cf(pend, rr):
+            return batch_map.finalize_table(
+                self, rr, batch_map.gather_collect(pend)
+            )
+
+        if not OVERLAP_FINALIZE:
+            q0 = deque()
+            for i in range(0, len(reads), chunk):
+                ch = reads[i : i + chunk]
+                q0.append((batch_map.gather_submit(self, ch,
+                                                   max_candidates, pad),
+                           ch))
+                if len(q0) > depth:
+                    pend, rr = q0.popleft()
+                    yield _cf(pend, rr)
+            while q0:
+                pend, rr = q0.popleft()
+                yield _cf(pend, rr)
+            return
+
         q = deque()  # (pending, chunk_reads), oldest first
+        fq = deque()  # finalize futures, oldest first
         for i in range(0, len(reads), chunk):
             ch = reads[i : i + chunk]
             q.append((batch_map.gather_submit(self, ch, max_candidates,
                                               pad), ch))
             if len(q) > depth:
                 pend, rr = q.popleft()
-                yield batch_map.finalize_table(
-                    self, rr, batch_map.gather_collect(pend)
-                )
+                fq.append(self._fin_pool.submit(_cf, pend, rr))
+            while len(fq) > 1:
+                yield fq.popleft().result()
         while q:
             pend, rr = q.popleft()
-            yield batch_map.finalize_table(
-                self, rr, batch_map.gather_collect(pend)
-            )
+            fq.append(self._fin_pool.submit(_cf, pend, rr))
+        while fq:
+            yield fq.popleft().result()
 
     def _map_reads_obj(self, reads, max_candidates: int = 8, pad: int = 24):
         read_codes, all_cands, scores, best_of = self._gather_candidates(
