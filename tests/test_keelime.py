@@ -528,3 +528,34 @@ def test_native_window_scan_differential():
         want = int(hits[0]) if len(hits) else -1
         got = kl._window_first_hit(hay, needle, allowed, thresh)
         assert got == want, (trial, got, want)
+
+
+def test_native_overlap_best_matches_numpy_oracle():
+    """cpp/overlapbest.cpp == the numpy sliding-window overlap_score
+    on random adversarial strings (scores are multiples of 0.5, so the
+    int accumulation must be bit-identical)."""
+    import random
+
+    from vgan_tpu.pipelines.keelime import (
+        _overlap_best_native,
+        _overlap_score_numpy,
+        overlap_best_batch_native,
+    )
+
+    rng = random.Random(7)
+    alph = "ACGTRYNS-acgtry"
+    pairs = []
+    for _ in range(500):
+        a = "".join(rng.choice(alph) for _ in range(rng.randint(0, 50)))
+        b = "".join(rng.choice(alph) for _ in range(rng.randint(0, 40)))
+        mo = rng.randint(0, 10)
+        ms = rng.uniform(-5.0, 20.0)
+        want = _overlap_score_numpy(a, b, mo, ms)
+        got = _overlap_best_native(a, b, mo, ms)
+        assert got is not None, "native lib must be present in CI env"
+        assert got == want, (a, b, mo, ms)
+        pairs.append((a, b))
+    # batched entry point agrees with per-pair calls
+    batch = overlap_best_batch_native(pairs, 5, 3.0)
+    for (a, b), r in zip(pairs, batch):
+        assert r == _overlap_score_numpy(a, b, 5, 3.0)

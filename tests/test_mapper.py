@@ -629,3 +629,31 @@ def test_mq_adversarial_monotone_in_gap():
     assert mqs[0] <= 3  # exact tie
     assert all(b >= a for a, b in zip(mqs, mqs[1:])), mqs
     assert mqs[-1] >= 30  # far decoy passes the euka filter side
+
+
+def test_streaming_threaded_finalize_parity():
+    """map_table_chunks with the worker-thread collect+finalize
+    produces byte-identical tables to the serial path (pool snapshots
+    keep concurrent readers consistent)."""
+    from vgan_tpu.graph.synth import build_haplotype_graph, sample_reads
+    from vgan_tpu.mapper import giraffe as gi
+    from vgan_tpu.mapper.giraffe import BatchedMapper
+
+    base = _rand_seq(4000, 42)
+    graph, _ = build_haplotype_graph(base, n_haplotypes=8, n_variants=40,
+                                     seed=3)
+    mapper = BatchedMapper(graph, k=20, w=10)
+    reads = sample_reads(graph, 2, n_reads=7000, seed=0)
+    old = gi.OVERLAP_FINALIZE
+    try:
+        gi.OVERLAP_FINALIZE = True
+        t1 = mapper.map_reads_table(reads, chunk=2048)
+        gi.OVERLAP_FINALIZE = False
+        t2 = mapper.map_reads_table(reads, chunk=2048)
+    finally:
+        gi.OVERLAP_FINALIZE = old
+    np.testing.assert_array_equal(t1.score, t2.score)
+    np.testing.assert_array_equal(t1.mq, t2.mq)
+    np.testing.assert_array_equal(t1.nmap, t2.nmap)
+    np.testing.assert_array_equal(t1.m_node, t2.m_node)
+    np.testing.assert_array_equal(t1.e_from, t2.e_from)
