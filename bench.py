@@ -499,7 +499,10 @@ def bench_soibean_e2e():
         llc = pm[:, c] + c25[:, c, :] @ hv
         llp = pm[:, p] + c25[:, p, :] @ hv
         np.logaddexp(np.log(0.5) + llc, np.log(0.5) + llp).sum()
-    host_iters_per_s = 4 * n_host_iter / (time.perf_counter() - th0)
+    # chain-iterations/s: the host runs chains sequentially (as the
+    # reference does, `src/soibean.cpp:805-840`), so one measured
+    # iteration = one chain-iteration
+    host_iters_per_s = n_host_iter / (time.perf_counter() - th0)
     stages["mcmc_host_iters_per_s"] = host_iters_per_s
     stages["mcmc_iters_per_s"] = (
         (SOIBEAN_ITERS + 1) * 4 / stages["mcmc_s"]
