@@ -278,19 +278,14 @@ def bench_mapping(mapper, reads):
 
 
 # ------------------------------------------------------------ real DB scale
-def bench_haplocart_realdb():
-    """HaploCart e2e + mapping at the REAL DB's shape — 5,179 paths
-    (`src/load.cpp:284-292`) over the full rCRS, 600 variant sites —
-    mapping cost grows with path count (seeding hits every
-    near-identical haplotype), so toy-world numbers don't transfer
-    (VERDICT r2 #2)."""
+def build_realdb_world():
+    """The REAL DB's shape — 5,179 paths (`src/load.cpp:284-292`) over
+    the full rCRS, 600 variant sites — mapping cost grows with path
+    count (seeding hits every near-identical haplotype), so toy-world
+    numbers don't transfer (VERDICT r2 #2)."""
     from vgan_tpu.graph.synth import build_haplotype_graph, sample_reads
     from vgan_tpu.io import fastx
     from vgan_tpu.mapper.giraffe import BatchedMapper
-    from vgan_tpu.pipelines.haplocart_runner import (
-        HaplocartConfig,
-        run_sample,
-    )
 
     n_haps = 64 if _SMOKE else 5179
     seqs, _ = fastx.read_fasta("/root/reference/test/input_files/rCRS.fa")
@@ -303,6 +298,33 @@ def bench_haplocart_realdb():
     # pipeline (4 chunks) reaches steady state instead of paying the
     # fill/drain on a 2-chunk run
     all_reads = sample_reads(graph, 5, n_reads=2 * N_READS_REAL, seed=0)
+    return db, mapper, all_reads, n_haps
+
+
+def bench_realdb_mapping(mapper, all_reads):
+    """Best-of-3 steady-state mapping at 5,179-path scale. Runs EARLY
+    in main(): the axon backend's per-dispatch latency floor grows
+    with the process's dispatch count, and mapping is the
+    dispatch-heaviest measurement."""
+    mapper.map_reads_table(all_reads[:4096])  # warm/compile
+    dt = math.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = mapper.map_reads_table(all_reads)
+        dt = min(dt, time.perf_counter() - t0)
+    map_rps = len(all_reads) / dt
+    assert int((out.identity != 0).sum()) == len(all_reads)
+    return map_rps
+
+
+def bench_haplocart_realdb(db, mapper, all_reads):
+    """HaploCart e2e + host-oracle ratio at the real 5,179-path scale
+    (VERDICT r3 #1)."""
+    from vgan_tpu.pipelines.haplocart_runner import (
+        HaplocartConfig,
+        run_sample,
+    )
+
     reads = all_reads[:N_READS_REAL]
     fd, fq = tempfile.mkstemp(suffix=".fq")
     with os.fdopen(fd, "w") as f:
@@ -342,14 +364,7 @@ def bench_haplocart_realdb():
     finally:
         os.unlink(fq)
         os.unlink(fq_small)
-    dt = math.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = mapper.map_reads_table(all_reads)
-        dt = min(dt, time.perf_counter() - t0)
-    map_rps = len(all_reads) / dt
-    assert int((out.identity != 0).sum()) == len(all_reads)
-    return e2e_rps, map_rps, n_haps, host_rps, agree
+    return e2e_rps, host_rps, agree
 
 
 def bench_euka_realdb():
@@ -671,6 +686,13 @@ def main():
     gcups = bench_sw_kernel()
     _note("device step")
     dev_rps, dev_cpu_rps, dev_agree = bench_device_step()
+    # real-DB mapping is the dispatch-heaviest measurement: run it
+    # before the MCMC/e2e phases push the process into the axon
+    # backend's per-dispatch latency floor; the realdb e2e + host
+    # oracle reuse this world late in the run
+    _note("haplocart real-DB mapping")
+    realdb_db, realdb_mapper, realdb_reads, n_haps = build_realdb_world()
+    map_real_rps = bench_realdb_mapping(realdb_mapper, realdb_reads)
     _note("euka mcmc")
     euka_ips = bench_euka_mcmc()
     _note("soibean mcmc")
@@ -687,9 +709,10 @@ def main():
     keelime_rps = bench_keelime_e2e(graph, mapper, reads)
     _note("soibean e2e")
     soibean_rps, sb_stages = bench_soibean_e2e()
-    _note("haplocart real-DB scale")
-    (hc_real_rps, map_real_rps, n_haps, hc_real_host_rps,
-     hc_real_agree) = bench_haplocart_realdb()
+    _note("haplocart real-DB e2e + host oracle")
+    hc_real_rps, hc_real_host_rps, hc_real_agree = bench_haplocart_realdb(
+        realdb_db, realdb_mapper, realdb_reads
+    )
     _note("euka real-DB scale")
     euka_real_rps, n_taxa = bench_euka_realdb()
     _note("multihost 2-proc ratio")
