@@ -862,7 +862,8 @@ class GraphAss:
             self.in_degree[v] += 1
 
 
-DEVICE_OVERLAP_MIN_PAIRS = 256  # below this the host scorer is faster
+# (r4) all candidate pairs score through the native threaded batch
+# scorer (device batch as fallback); no size threshold needed
 
 
 def find_overlaps(
@@ -1062,7 +1063,11 @@ def merge_all_paths(
             sc_buf[:cur] = np.log(f0.probs)
         ct_buf[:cur] = f0.counts
         node_ids = list(f0.node_ids)
-        idx_of = {nid: k for k, nid in enumerate(node_ids)}
+        # first-occurrence index per id (list.index semantics — a read
+        # can visit a node twice)
+        idx_of = {}
+        for kk, nid in enumerate(node_ids):
+            idx_of.setdefault(nid, kk)
 
         def _ensure(n):
             nonlocal cap, sc_buf, ct_buf
@@ -1133,9 +1138,9 @@ def merge_all_paths(
                         contig_enc = f_seq_enc[nb]
                         ry_enc = f_ry_enc[nb] if specified_deam else None
                         node_ids = list(fn.node_ids)
-                        idx_of = {
-                            nid: k for k, nid in enumerate(node_ids)
-                        }
+                        idx_of = {}
+                        for kk, nid in enumerate(node_ids):
+                            idx_of.setdefault(nid, kk)
                         cur = len(fn.seq)
                         _ensure(cur)
                         with np.errstate(divide="ignore"):
