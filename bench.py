@@ -81,7 +81,9 @@ def bench_sw_kernel():
 
     rng = np.random.default_rng(0)
     B, R, W = (256, 64, 64) if _SMOKE else (4096, 128, 256)
-    reps = 2 if _SMOKE else 10
+    # deeper rep queue amortizes the tunneled backend's per-dispatch
+    # latency (async dispatches pipeline; only compute accumulates)
+    reps = 2 if _SMOKE else 20
     read = rng.integers(0, 4, size=(B, R)).astype(np.int32)
     win = rng.integers(0, 4, size=(B, W)).astype(np.int32)
     rlen = np.full(B, R, np.int32)
@@ -678,33 +680,32 @@ def _note(msg):
 
 
 def main():
-    # Phase order matters on the axon backend: after many dispatches in
-    # one process every dispatch acquires a ~40ms latency floor, so the
-    # dispatch-count-sensitive microbenchmarks run FIRST; the e2e
-    # phases dispatch few large batches and run last.
+    # Phase order matters on the axon backend: the per-dispatch latency
+    # grows with the process's cumulative dispatch count (measured r4:
+    # the same toy e2e runs 26.8k reads/s in a fresh process and 18.5k
+    # after the microbench phases — a ~30% tax). So the headline
+    # ratio (toy e2e vs host oracle) and the dispatch-heaviest
+    # measurements (SW kernel, mapping) run FIRST; phases that are
+    # host-bound (MCMC oracle anchors, keelime assembly) or that
+    # amortize giant device scans (MCMC samplers) run last.
     _note("sw kernel")
     gcups = bench_sw_kernel()
-    _note("device step")
-    dev_rps, dev_cpu_rps, dev_agree = bench_device_step()
-    # real-DB mapping is the dispatch-heaviest measurement: run it
-    # before the MCMC/e2e phases push the process into the axon
-    # backend's per-dispatch latency floor; the realdb e2e + host
-    # oracle reuse this world late in the run
+    _note("e2e world")
+    graph = _bench_world()
+    e2e_rps, host_rps, e2e_agree, mapper, reads = bench_haplocart_e2e(graph)
+    _note("mapping")
+    map_rps, map_rate = bench_mapping(mapper, reads)
     _note("haplocart real-DB mapping")
     realdb_db, realdb_mapper, realdb_reads, n_haps = build_realdb_world()
     map_real_rps = bench_realdb_mapping(realdb_mapper, realdb_reads)
+    _note("device step")
+    dev_rps, dev_cpu_rps, dev_agree = bench_device_step()
     _note("euka mcmc")
     euka_ips = bench_euka_mcmc()
     _note("soibean mcmc")
     soibean_ips = bench_soibean_mcmc()
-
-    _note("e2e world")
-    graph = _bench_world()
-    e2e_rps, host_rps, e2e_agree, mapper, reads = bench_haplocart_e2e(graph)
     _note("euka e2e (toy)")
     euka_rps = bench_euka_e2e(graph, mapper, reads)
-    _note("mapping")
-    map_rps, map_rate = bench_mapping(mapper, reads)
     _note("keelime e2e")
     keelime_rps = bench_keelime_e2e(graph, mapper, reads)
     _note("soibean e2e")

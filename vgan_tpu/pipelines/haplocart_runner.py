@@ -41,6 +41,9 @@ class HaplocartConfig:
     # True: host f64 oracle loop (pipelines/haplocart.score_alignments);
     # False (default): batched device scorer (haplocart_device.score_batch)
     precise: bool = False
+    # streaming map->score chunk size (dispatches scale inversely;
+    # the tunneled backend pays a per-dispatch latency floor)
+    chunk: int = 4096
 
 
 def load_db(db_dir: str) -> hc.HaplocartDB:
@@ -253,7 +256,9 @@ def run_sample(
                         final_vec, n_reads = (
                             hc_columnar.score_table_stream(
                                 db,
-                                mapper.map_table_chunks(reads),
+                                mapper.map_table_chunks(
+                                    reads, chunk=cfg.chunk
+                                ),
                                 background_error_prob=(
                                     cfg.background_error_prob
                                 ),
