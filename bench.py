@@ -690,22 +690,27 @@ def main():
     # amortize giant device scans (MCMC samplers) run last.
     _note("sw kernel")
     gcups = bench_sw_kernel()
+    # the device-step microbench is the MOST latency-sensitive phase
+    # (20 dispatches of ~50us compute): run it while dispatches are
+    # still cheap
+    _note("device step")
+    dev_rps, dev_cpu_rps, dev_agree = bench_device_step()
     _note("e2e world")
     graph = _bench_world()
     e2e_rps, host_rps, e2e_agree, mapper, reads = bench_haplocart_e2e(graph)
     _note("mapping")
     map_rps, map_rate = bench_mapping(mapper, reads)
+    _note("euka e2e (toy)")
+    euka_rps = bench_euka_e2e(graph, mapper, reads)
     _note("haplocart real-DB mapping")
     realdb_db, realdb_mapper, realdb_reads, n_haps = build_realdb_world()
     map_real_rps = bench_realdb_mapping(realdb_mapper, realdb_reads)
-    _note("device step")
-    dev_rps, dev_cpu_rps, dev_agree = bench_device_step()
+    _note("euka real-DB scale")
+    euka_real_rps, n_taxa = bench_euka_realdb()
     _note("euka mcmc")
     euka_ips = bench_euka_mcmc()
     _note("soibean mcmc")
     soibean_ips = bench_soibean_mcmc()
-    _note("euka e2e (toy)")
-    euka_rps = bench_euka_e2e(graph, mapper, reads)
     _note("keelime e2e")
     keelime_rps = bench_keelime_e2e(graph, mapper, reads)
     _note("soibean e2e")
@@ -714,8 +719,6 @@ def main():
     hc_real_rps, hc_real_host_rps, hc_real_agree = bench_haplocart_realdb(
         realdb_db, realdb_mapper, realdb_reads
     )
-    _note("euka real-DB scale")
-    euka_real_rps, n_taxa = bench_euka_realdb()
     _note("multihost 2-proc ratio")
     mh_ratio = bench_multihost_ratio()
 
