@@ -58,7 +58,10 @@ from vgan_tpu.pipelines.haplocart_device import (
 # recorded numbers always come from the full run on the TPU)
 _SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0") or 0))
 N_READS_DEV = 2048 if _SMOKE else 16384
-N_READS_E2E = 400 if _SMOKE else 16000
+# 48k reads (r4): a single tunnel stall of ~100-500ms wrecked a
+# 0.6s 16k-read timed run; tripling the workload amortizes stalls
+# to a few percent (workload hash changes accordingly)
+N_READS_E2E = 400 if _SMOKE else 48000
 N_READS_REAL = 200 if _SMOKE else 8000
 EUKA_ITERS = 2000 if _SMOKE else 10000
 SOIBEAN_ITERS, SOIBEAN_BURN = (4000, 1000) if _SMOKE else (500_000, 75_000)
@@ -208,8 +211,8 @@ def bench_haplocart_e2e(graph):
         cfg = HaplocartConfig(db_dir="", fq1=fq, quiet=True)
         run_sample(cfg, db, mapper, "warm")  # compile + warm caches
         dt = math.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
+        for _ in range(5):  # production side: more chances to dodge a
+            t0 = time.perf_counter()  # tunnel stall (oracle is stable)
             pred_d, n_d, vec_d = run_sample(cfg, db, mapper, "bench")
             dt = min(dt, time.perf_counter() - t0)
         e2e_rps = len(reads) / dt
