@@ -430,8 +430,8 @@ def test_device_overlap_scores_match_host():
 
 
 def test_find_overlaps_device_path(synthetic_world, monkeypatch):
-    """Forcing the device path through find_overlaps yields the same
-    DAG as the host path."""
+    """find_overlaps through the device-batch fallback (native batch
+    scorer disabled) yields the same DAG as the native path."""
     from vgan_tpu.pipelines import keelime as klmod
 
     graph, frags = synthetic_world
@@ -441,7 +441,9 @@ def test_find_overlaps_device_path(synthetic_world, monkeypatch):
         f.ry = kl.to_rymer(f.seq)
     density, _ = kl.initial_overlap(frags, depths)
     g_host, om_host = kl.find_overlaps(frags, 5, 10, density, False, 5)
-    monkeypatch.setattr(klmod, "DEVICE_OVERLAP_MIN_PAIRS", 1)
+    monkeypatch.setattr(
+        klmod, "overlap_best_batch_native", lambda *a, **k: None
+    )
     g_dev, om_dev = kl.find_overlaps(frags, 5, 10, density, False, 5)
     assert om_host == om_dev
     assert [dict(d) for d in g_host.adj] == [dict(d) for d in g_dev.adj]
