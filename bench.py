@@ -58,10 +58,7 @@ from vgan_tpu.pipelines.haplocart_device import (
 # recorded numbers always come from the full run on the TPU)
 _SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0") or 0))
 N_READS_DEV = 2048 if _SMOKE else 16384
-# 48k reads (r4): a single tunnel stall of ~100-500ms wrecked a
-# 0.6s 16k-read timed run; tripling the workload amortizes stalls
-# to a few percent (workload hash changes accordingly)
-N_READS_E2E = 400 if _SMOKE else 48000
+N_READS_E2E = 400 if _SMOKE else 16000
 N_READS_REAL = 200 if _SMOKE else 8000
 EUKA_ITERS = 2000 if _SMOKE else 10000
 SOIBEAN_ITERS, SOIBEAN_BURN = (4000, 1000) if _SMOKE else (500_000, 75_000)
