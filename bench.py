@@ -239,13 +239,13 @@ def bench_haplocart_e2e(graph):
 _E2E_RETRY: dict = {}
 
 
-def bench_haplocart_e2e_retry(best_rps: float) -> float:
-    """Re-sample the pinned production e2e late in the bench and keep
+def bench_haplocart_e2e_retry(best_rps: float, last: bool = False) -> float:
+    """Re-sample the pinned production e2e later in the bench and keep
     the best: the tunnel's slow windows last minutes, so the best-of-N
     protocol spreads its N across the run (same workload, same
     measurement; the host oracle is tunnel-insensitive and is not
-    re-run)."""
-    ctx = _E2E_RETRY.pop("ctx", None)
+    re-run). last=True releases the workload file."""
+    ctx = _E2E_RETRY.pop("ctx", None) if last else _E2E_RETRY.get("ctx")
     if ctx is None:
         return best_rps
     from vgan_tpu.pipelines.haplocart_runner import run_sample
@@ -259,7 +259,8 @@ def bench_haplocart_e2e_retry(best_rps: float) -> float:
             dt = min(dt, time.perf_counter() - t0)
         return max(best_rps, n_reads / dt)
     finally:
-        os.unlink(fq)
+        if last:
+            os.unlink(fq)
 
 
 def bench_euka_e2e(graph, mapper, reads):
@@ -755,6 +756,8 @@ def main():
     )
     _note("multihost 2-proc ratio")
     mh_ratio = bench_multihost_ratio()
+    _note("e2e final re-sample")
+    e2e_rps = bench_haplocart_e2e_retry(e2e_rps, last=True)
 
     result = {
         "metric": "haplocart_e2e_reads_per_s",
