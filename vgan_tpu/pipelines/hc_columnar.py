@@ -401,6 +401,32 @@ def score_table_stream(
             fut = ex.submit(_pull, it)
             yield table
 
+    # scoring dispatches are deferred and batched: per-chunk batch
+    # arrays accumulate on host and score in ONE device dispatch per
+    # ~2^20 mappings — on the tunneled backend every dispatch costs a
+    # round trip, and the scorer compute is tiny next to it. Padding a
+    # chunk's [M0, S] rows to the flush's max S reproduces exactly the
+    # rows _batch_arrays would build at that S (255/255/0 fill beyond
+    # `take`), so this is bit-identical to per-chunk dispatch
+    # (parity-tested against score_table_device).
+    FLUSH_MAPPINGS = 1 << 20
+    pending: list = []
+    pending_m = 0
+
+    def _flush():
+        nonlocal acc, pending, pending_m
+        if not pending:
+            return
+        a = _concat_batches(pending)
+        pending = []
+        pending_m = 0
+        buf = pack_batch(a, np.dtype(dt))
+        vec = score_packed(
+            buf, tables, bep, M=_bucket_M(len(a["b"])), S=a["S"],
+            consensus=is_consensus_fasta,
+        )
+        acc = vec if acc is None else acc + vec
+
     for table in _iter_prefetched():
         t = table.select(table.identity != 0)
         if t.n == 0:
@@ -422,18 +448,44 @@ def score_table_stream(
         a = _batch_arrays(db, t)
         if a is None:
             continue
-        buf = pack_batch(a, np.dtype(dt))
-        vec = score_packed(
-            buf, tables, bep, M=_bucket_M(len(a["b"])), S=a["S"],
-            consensus=is_consensus_fasta,
-        )
-        acc = vec if acc is None else acc + vec
+        pending.append(a)
+        pending_m += len(a["b"])
+        if pending_m >= FLUSH_MAPPINGS:
+            _flush()
+    _flush()
     ex.shutdown(wait=False)
     if acc is None or n_kept == 0:
         raise RuntimeError("[HaploCart] Error, no reads mapped")
     out = np.asarray(acc, dtype=np.float64)
     guards.check_finite(out, "haplocart final_vec (stream)")
     return out, n_kept
+
+
+def _concat_batches(parts: list) -> dict:
+    """Concatenate _batch_arrays dicts; rows pad to the max S with the
+    same fill pack_batch uses beyond `take` (g/r 255, q 0), so the
+    result equals one _batch_arrays call at that S."""
+    if len(parts) == 1:
+        return parts[0]
+    S = max(p["S"] for p in parts)
+
+    def pad_rows(p, key, fill):
+        x = p[key]
+        if x.shape[1] == S:
+            return x
+        out = np.full((x.shape[0], S), fill, x.dtype)
+        out[:, : x.shape[1]] = x
+        return out
+
+    a = {
+        "g": np.concatenate([pad_rows(p, "g", 255) for p in parts]),
+        "r": np.concatenate([pad_rows(p, "r", 255) for p in parts]),
+        "q": np.concatenate([pad_rows(p, "q", 0) for p in parts]),
+        "S": S,
+    }
+    for k in ("mq", "use_bep", "pang", "node", "take", "b"):
+        a[k] = np.concatenate([p[k] for p in parts])
+    return a
 
 
 def score_table_device(
