@@ -3,8 +3,16 @@
 Subcommand surface mirrors `src/vgan.cpp:31-191`:
   haplocart, euka, soibean, keelime, gam2prof, duprm, version
 plus framework-native additions:
-  build-db   compile a GFA into the packed DB (graph.npz)
-  bench      print the one-line benchmark JSON
+  build-db      compile GFA/.vg/.og/.gbz/.gg/.xg into the packed DB
+  build-hc-db   self-host an hcfiles-layout DB from consensus FASTAs
+  build-taxon-db  subset a per-taxon soibean DB from the super-graph
+  vcf2fasta     single-sample VCF -> consensus FASTA
+  map           standalone giraffe-equivalent mapper -> GAM
+  plot-taxon / plot-detected / plot-trace / plot-k /
+  plot-tree-posterior / tree-from-output   output visualization
+  bench         print the one-line benchmark JSON
+multi-host: --coordinator host:port --nproc N --procid I
+soibean resumable MCMC: --checkpoint PATH [--checkpoint-every N]
 
 Flags are parsed with the reference's manual single-dash style
 (`src/HaploCart.cpp:87-209`, `src/Euka.cpp:193-345`,
