@@ -312,6 +312,42 @@ def synthetic_world():
     return graph, kl.analyse_gam(graph, frags)
 
 
+def test_subset_absorption_long_fragment():
+    """ADVICE r4: ct_sub absorption of a fragment LONGER than the
+    contig buffer capacity (cap starts at max(256, 4*len(f0.seq)))
+    must grow the buffer before rebinding the live length — a 390bp
+    fragment absorbing a 40bp starting contig used to raise a
+    broadcast-shape ValueError inside _ensure. Drives merge_all_paths
+    directly: the fragment sort would put the longer read first at
+    equal (node, offset), hiding the branch."""
+    rng = np.random.default_rng(7)
+    ref = "".join("ACGT"[i] for i in rng.integers(0, 4, size=400))
+
+    def _frag(name, seq):
+        L = len(seq)
+        probs = np.full((L, 5), 0.01)
+        counts = np.zeros((L, 5), np.int64)
+        for i, c in enumerate(seq):
+            j = "ACGT-".index(c)
+            probs[i, j] = 0.96
+            counts[i, j] = 1
+        return kl.Frag(
+            name=name, seq=seq, graph_seq=seq, node_ids=[1],
+            offsets=[0], coverage=[1], probs=probs, counts=counts,
+            cut=(False, 0), ry=kl.to_rymer(seq),
+        )
+
+    fa = _frag("short", ref[:40])   # contig start: cap = 256
+    fb = _frag("long", ref[:390])   # absorbed fragment > cap
+    g = kl.GraphAss(2)
+    g.add_edge(0, 1, 40.0)
+    contigs = kl.merge_all_paths(g, {(0, 1): (40, 40.0)}, [fa, fb],
+                                 False, 10)
+    assert any(c.seq == ref[:390] for c in contigs), (
+        [len(c.seq) for c in contigs]
+    )
+
+
 def test_consensus_coverage_mask(synthetic_world):
     graph, frags = synthetic_world
     contigs = kl.assemble(graph, frags, len_min=5, score_min=10)

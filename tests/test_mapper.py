@@ -631,6 +631,25 @@ def test_mq_adversarial_monotone_in_gap():
     assert mqs[-1] >= 30  # far decoy passes the euka filter side
 
 
+def test_mq_adversarial_chained_repeat_three_copies():
+    """ADVICE r4: >=3 equal-content windows whose intervals chain (B
+    overlaps A, C overlaps B but NOT A). Kept-only dedup — the host
+    semantics in giraffe._gather_candidates — keeps A and C: two
+    genuinely distinct placements, so the read is ambiguous (MQ ~0,
+    fails the euka MQ>29 filter). An adjacent-row-only device dedup
+    would let the dropped B suppress C and wrongly report a unique
+    placement (MQ 60)."""
+    u = _rand_seq(100, 21)
+    # 5 tandem copies + a 24bp periodic tail so every interior window
+    # (width L + 2*pad = 148) has identical content: kept-only keeps
+    # los {76, 276}; adjacent-only would chain-drop everything past 76
+    seq = u * 5 + u[:24] + _rand_seq(200, 22)
+    g = _linear_graph([("rep", seq)])
+    m1, m2 = _mq_both(g, _read_from(seq, 100))
+    assert m1 == m2, (m1, m2)
+    assert m1 <= 3
+
+
 def test_streaming_threaded_finalize_parity():
     """map_table_chunks with the worker-thread collect+finalize
     produces byte-identical tables to the serial path (pool snapshots

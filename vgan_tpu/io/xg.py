@@ -351,11 +351,15 @@ def load_packed_graph_xg(path: str):
     # are forward-only).  A set flag means a reverse-strand edge whose
     # full from_rev/to_rev combination the single bit cannot represent
     # — decoding it would emit the same edge twice with conflicting
-    # orientations from the two endpoint views, so reject it instead
-    # (forward-only is the validated scope; see XG_FORMAT_NOTES.md).
+    # orientations from the two endpoint views.  Forward-only is the
+    # validated scope (see XG_FORMAT_NOTES.md); such edges are SKIPPED
+    # with one aggregated warning rather than failing the whole load,
+    # so graphs containing inversions still open (minus those edges) —
+    # convert via GFA/.vg for full orientation fidelity.
     rec_start = sorted(x["rec_off"])  # g-offsets in record order
     edges: List[Tuple[int, bool, int, bool]] = []
     seen = set()
+    rev_skipped: List[int] = []
     for ridx, (nid, _, _) in enumerate(nodes):
         base = rec_start[ridx]
         for group, incoming in ((x["to_edges"][ridx], True),
@@ -363,11 +367,8 @@ def load_packed_graph_xg(path: str):
             for eint in group:
                 delta = _unzigzag(eint >> 1)
                 if eint & 1:
-                    raise XGFormatError(
-                        f"record {ridx}: reverse-strand edge int "
-                        f"{eint:#x}; only forward-forward edges are "
-                        "supported (unvalidated orientation encoding)"
-                    )
+                    rev_skipped.append(ridx)
+                    continue
                 tgt_off = base + delta
                 tidx = x["rec_off"].get(tgt_off)
                 if tidx is None:
@@ -383,6 +384,17 @@ def load_packed_graph_xg(path: str):
                     continue
                 seen.add(key)
                 edges.append(e)
+    if rev_skipped:
+        import warnings
+
+        sample = ", ".join(str(r) for r in rev_skipped[:5])
+        warnings.warn(
+            f"{path}: skipped {len(rev_skipped)} reverse-strand edge "
+            f"record(s) (e.g. records {sample}); the .xg single-bit "
+            "orientation encoding is ambiguous here — convert the "
+            "graph via GFA or .vg for full inversion support",
+            stacklevel=2,
+        )
     paths = []
     for name, (handles, _circ) in zip(x["path_names"], x["paths"]):
         steps = [

@@ -445,13 +445,39 @@ def gather_collect(p: Optional[PendingGather]) -> Optional[BatchResult]:
         c_read[ordd], c_strand[ordd], grp[ordd], wlen[ordd], h1[ordd],
         h2[ordd], lo[ordd],
     )
-    dup = np.zeros(m, dtype=bool)
-    dup[1:] = (
+    same_key = (
         (rs[1:] == rs[:-1]) & (ss[1:] == ss[:-1]) & (gs[1:] == gs[:-1])
         & (w_s[1:] == w_s[:-1])
         & (h1s[1:] == h1s[:-1]) & (h2s[1:] == h2s[:-1])
-        & (los[1:] < los[:-1] + w_s[:-1])  # intervals overlap
     )
+    dup = np.zeros(m, dtype=bool)
+    dup[1:] = same_key & (los[1:] < los[:-1] + w_s[:-1])  # intervals overlap
+    # The adjacent-row comparison above matches the host path's
+    # kept-only semantics (giraffe._gather_candidates: a candidate is a
+    # dup iff it overlaps a KEPT span) except in >=3-row chains, where a
+    # DROPPED row can wrongly suppress its successor (A kept, B dup of
+    # A, C overlaps B but not A -> C must be kept).  Adjacent-only can
+    # only over-drop (the last kept lo <= previous lo, so adjacent-keep
+    # implies kept-only-keep), and only where a dup row follows another
+    # dup row — exact greedy rescan on just those rare groups.  Widths
+    # are equal within a group (wlen is in the key), so overlap with any
+    # kept span reduces to overlap with the LAST kept span.
+    suspect = np.nonzero(dup[1:] & dup[:-1])[0] + 1
+    if suspect.size:
+        is_start = np.concatenate(([True], ~same_key))
+        start_of = np.maximum.accumulate(
+            np.where(is_start, np.arange(m), -1)
+        )
+        for g in np.unique(start_of[suspect]):
+            last_hi = los[g] + w_s[g]
+            j = g + 1
+            while j < m and not is_start[j]:
+                if los[j] < last_hi:
+                    dup[j] = True
+                else:
+                    dup[j] = False
+                    last_hi = los[j] + w_s[j]
+                j += 1
     kept_rows = np.sort(ordd[~dup])
     c_read, c_path, c_strand, lo, wlen, L, scores = (
         c_read[kept_rows], c_path[kept_rows], c_strand[kept_rows],

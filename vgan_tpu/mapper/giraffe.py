@@ -548,7 +548,12 @@ class BatchedMapper(Mapper):
         from concurrent.futures import ThreadPoolExecutor
 
         if not hasattr(self, "_fin_pool"):
+            import weakref
+
             self._fin_pool = ThreadPoolExecutor(1)
+            # the worker thread is non-daemon: tie its lifetime to the
+            # mapper so an abandoned mapper doesn't pin the interpreter
+            weakref.finalize(self, self._fin_pool.shutdown, wait=False)
 
         def _cf(pend, rr):
             return batch_map.finalize_table(
@@ -572,20 +577,35 @@ class BatchedMapper(Mapper):
 
         q = deque()  # (pending, chunk_reads), oldest first
         fq = deque()  # finalize futures, oldest first
-        for i in range(0, len(reads), chunk):
-            ch = reads[i : i + chunk]
-            q.append((batch_map.gather_submit(self, ch, max_candidates,
-                                              pad), ch))
-            if len(q) > depth:
+        try:
+            for i in range(0, len(reads), chunk):
+                ch = reads[i : i + chunk]
+                q.append((batch_map.gather_submit(self, ch,
+                                                  max_candidates, pad),
+                          ch))
+                if len(q) > depth:
+                    pend, rr = q.popleft()
+                    fq.append(self._fin_pool.submit(_cf, pend, rr))
+                while len(fq) > 1:
+                    yield fq.popleft().result()
+            while q:
                 pend, rr = q.popleft()
                 fq.append(self._fin_pool.submit(_cf, pend, rr))
-            while len(fq) > 1:
+            while fq:
                 yield fq.popleft().result()
-        while q:
-            pend, rr = q.popleft()
-            fq.append(self._fin_pool.submit(_cf, pend, rr))
-        while fq:
-            yield fq.popleft().result()
+        finally:
+            # consumer abandoned the generator (early break/exception):
+            # cancel queued finalizes and drain the running one so no
+            # future keeps touching pending device buffers afterwards
+            for f in fq:
+                f.cancel()
+            for f in fq:
+                if not f.cancelled():
+                    try:
+                        f.result()
+                    except Exception:
+                        pass
+            q.clear()
 
     def _map_reads_obj(self, reads, max_candidates: int = 8, pad: int = 24):
         read_codes, all_cands, scores, best_of = self._gather_candidates(

@@ -409,17 +409,25 @@ def score_table_stream(
     # rows _batch_arrays would build at that S (255/255/0 fill beyond
     # `take`), so this is bit-identical to per-chunk dispatch
     # (parity-tested against score_table_device).
+    # flush is capped by padded CELLS (mappings x flush-wide max S),
+    # not mapping count alone: every pending row pads to the flush max
+    # S at concat, so long-read chunks would otherwise multiply the
+    # host-copy and device working set (ADVICE r4). 2^27 cells equals
+    # the old 2^20-mapping cap at the typical S=128 bucket.
     FLUSH_MAPPINGS = 1 << 20
+    FLUSH_CELLS = 1 << 27
     pending: list = []
     pending_m = 0
+    pending_smax = 0
 
     def _flush():
-        nonlocal acc, pending, pending_m
+        nonlocal acc, pending, pending_m, pending_smax
         if not pending:
             return
         a = _concat_batches(pending)
         pending = []
         pending_m = 0
+        pending_smax = 0
         buf = pack_batch(a, np.dtype(dt))
         vec = score_packed(
             buf, tables, bep, M=_bucket_M(len(a["b"])), S=a["S"],
@@ -450,7 +458,9 @@ def score_table_stream(
             continue
         pending.append(a)
         pending_m += len(a["b"])
-        if pending_m >= FLUSH_MAPPINGS:
+        pending_smax = max(pending_smax, int(a["S"]))
+        if (pending_m >= FLUSH_MAPPINGS
+                or pending_m * pending_smax >= FLUSH_CELLS):
             _flush()
     _flush()
     ex.shutdown(wait=False)

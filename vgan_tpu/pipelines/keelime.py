@@ -1141,8 +1141,12 @@ def merge_all_paths(
                         idx_of = {}
                         for kk, nid in enumerate(node_ids):
                             idx_of.setdefault(nid, kk)
+                        # grow BEFORE rebinding cur: _ensure copies
+                        # sc_buf[:cur], which must be the OLD live
+                        # region (an absorbed fragment longer than cap
+                        # would otherwise hit a broadcast-shape error)
+                        _ensure(len(fn.seq))
                         cur = len(fn.seq)
-                        _ensure(cur)
                         with np.errstate(divide="ignore"):
                             sc_buf[:cur] = np.log(fn.probs)
                         ct_buf[:cur] = fn.counts
