@@ -30,29 +30,28 @@ Also reported:
                                 bundled Ursidae tree
   sw_kernel_gcups               batched SW scoring kernel
 
+Regime protocol (r5, VERDICT r4 #2): on the tunneled axon backend the
+per-dispatch latency grows with the process's cumulative dispatch
+count (~30% tax after a few hundred dispatches; device microbenches
+degrade by orders of magnitude late-process — BASELINE.md). Every
+phase therefore runs in a FRESH SUBPROCESS (dispatch count ~0); the
+parent never imports jax, runs phases sequentially, and merges one
+JSON at the end. The headline toy-e2e phase runs twice (first and
+last) and keeps the best, spreading its best-of-N across the tunnel's
+multi-minute slow windows.
+
 Prints ONE JSON line.
 """
 import hashlib
 import json
 import math
 import os
+import sys
 import tempfile
 import time
 import zipfile
 
 import numpy as np
-
-import vgan_tpu  # noqa: F401  (x64 config)
-import jax
-import jax.numpy as jnp
-
-from vgan_tpu.pipelines.haplocart_device import (
-    HcBatch,
-    make_tables,
-    score_batch,
-    synth_batch,
-    synth_support,
-)
 
 # BENCH_SMOKE=1: tiny workloads for functional validation on CPU (the
 # recorded numbers always come from the full run on the TPU)
@@ -101,19 +100,30 @@ def bench_sw_kernel():
 
 
 def bench_device_step():
-    """Device scorer at real HC DB scale vs single-core numpy f64."""
+    """Device scorer at real HC DB scale vs single-core numpy f64.
+    Best-of-3 on the device loop (r5): single samples of the ~50us
+    compute swing +-40% with tunnel latency."""
     from vgan_tpu.models import mutation, phred
+    from vgan_tpu.pipelines.haplocart_device import (
+        make_tables,
+        score_batch,
+        synth_batch,
+        synth_support,
+    )
 
     support = synth_support()
     tables = make_tables(support)
     batch = synth_batch(n_reads=N_READS_DEV)
     out = score_batch(batch, tables)
     out.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(20):
-        out = score_batch(batch, tables)
-    out.block_until_ready()
-    tpu_rps = N_READS_DEV / ((time.perf_counter() - t0) / 20)
+    best = math.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = score_batch(batch, tables)
+        out.block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / 20)
+    tpu_rps = N_READS_DEV / best
     tpu_out = np.asarray(out)
 
     g = np.asarray(batch.g)
@@ -213,10 +223,6 @@ def bench_haplocart_e2e(graph):
             pred_d, n_d, vec_d = run_sample(cfg, db, mapper, "bench")
             dt = min(dt, time.perf_counter() - t0)
         e2e_rps = len(reads) / dt
-        # keep the workload around: main() re-samples the production
-        # side later in the run (slow-tunnel windows last minutes, so
-        # best-of-N only works if the N spread across the bench)
-        _E2E_RETRY["ctx"] = (cfg, db, mapper, len(reads), fq)
 
         cfg_p = HaplocartConfig(db_dir="", fq1=fq, quiet=True, precise=True)
         run_sample(cfg_p, db, mapper, "warm")
@@ -226,41 +232,12 @@ def bench_haplocart_e2e(graph):
             pred_p, n_p, vec_p = run_sample(cfg_p, db, mapper, "precise")
             host_dt = min(host_dt, time.perf_counter() - t0)
         host_rps = len(reads) / host_dt
-    except BaseException:
+    finally:
         os.unlink(fq)
-        _E2E_RETRY.pop("ctx", None)
-        raise
     agree = (pred_d == pred_p) and (
         int(np.argmax(vec_d)) == int(np.argmax(vec_p))
     )
     return e2e_rps, host_rps, agree, mapper, reads
-
-
-_E2E_RETRY: dict = {}
-
-
-def bench_haplocart_e2e_retry(best_rps: float, last: bool = False) -> float:
-    """Re-sample the pinned production e2e later in the bench and keep
-    the best: the tunnel's slow windows last minutes, so the best-of-N
-    protocol spreads its N across the run (same workload, same
-    measurement; the host oracle is tunnel-insensitive and is not
-    re-run). last=True releases the workload file."""
-    ctx = _E2E_RETRY.pop("ctx", None) if last else _E2E_RETRY.get("ctx")
-    if ctx is None:
-        return best_rps
-    from vgan_tpu.pipelines.haplocart_runner import run_sample
-
-    cfg, db, mapper, n_reads, fq = ctx
-    try:
-        dt = math.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            run_sample(cfg, db, mapper, "bench")
-            dt = min(dt, time.perf_counter() - t0)
-        return max(best_rps, n_reads / dt)
-    finally:
-        if last:
-            os.unlink(fq)
 
 
 def bench_euka_e2e(graph, mapper, reads):
@@ -294,9 +271,11 @@ def bench_euka_e2e(graph, mapper, reads):
                                   max_bins=21)
 
     run()  # warm
-    t0 = time.perf_counter()
-    res = run()
-    dt = time.perf_counter() - t0
+    dt = math.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = run()
+        dt = min(dt, time.perf_counter() - t0)
     assert int(res.counts.sum()) > 0
     return len(reads) / dt
 
@@ -305,9 +284,11 @@ def bench_mapping(mapper, reads):
     """Mapper alone (seed + device SW + native batch finalize), in the
     columnar form the production pipeline consumes."""
     mapper.map_reads_table(reads[:128])  # warm
-    t0 = time.perf_counter()
-    out = mapper.map_reads_table(reads)
-    dt = time.perf_counter() - t0
+    dt = math.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = mapper.map_reads_table(reads)
+        dt = min(dt, time.perf_counter() - t0)
     mapped = int((out.identity != 0).sum())
     return len(reads) / dt, mapped / len(reads)
 
@@ -337,19 +318,39 @@ def build_realdb_world():
 
 
 def bench_realdb_mapping(mapper, all_reads):
-    """Best-of-3 steady-state mapping at 5,179-path scale. Runs EARLY
-    in main(): the axon backend's per-dispatch latency floor grows
-    with the process's dispatch count, and mapping is the
-    dispatch-heaviest measurement."""
+    """Best-of-3 steady-state mapping at 5,179-path scale, in its own
+    fresh subprocess (dispatch count ~0). Also records the per-stage
+    host budget of the best run (VERDICT r4 #3): submit = seed+pack+
+    dispatch, collect = device wait+download+winner-select, finalize =
+    native table build — the artifact form of BASELINE.md's host-work
+    ceiling analysis."""
+    from vgan_tpu.mapper import batch_map
+
     mapper.map_reads_table(all_reads[:4096])  # warm/compile
     dt = math.inf
+    stages = {}
     for _ in range(3):
+        batch_map.reset_stage_times()
         t0 = time.perf_counter()
         out = mapper.map_reads_table(all_reads)
-        dt = min(dt, time.perf_counter() - t0)
+        run_dt = time.perf_counter() - t0
+        if run_dt < dt:
+            dt = run_dt
+            stages = dict(batch_map.STAGE_TIMES)
     map_rps = len(all_reads) / dt
     assert int((out.identity != 0).sum()) == len(all_reads)
-    return map_rps
+    nchunk = max(stages.get("chunks", 0), 1)
+    stage_fields = {
+        "hc_realdb_map_chunks": int(stages.get("chunks", 0)),
+        "hc_realdb_map_submit_s_per_chunk": round(
+            stages.get("submit_s", 0.0) / nchunk, 4),
+        "hc_realdb_map_collect_s_per_chunk": round(
+            stages.get("collect_s", 0.0) / nchunk, 4),
+        "hc_realdb_map_finalize_s_per_chunk": round(
+            stages.get("finalize_s", 0.0) / nchunk, 4),
+        "hc_realdb_map_wall_s": round(dt, 3),
+    }
+    return map_rps, stage_fields
 
 
 def bench_haplocart_realdb(db, mapper, all_reads):
@@ -469,9 +470,11 @@ def bench_euka_realdb():
                                   min_bins=1, max_bins=21)
 
     run()  # warm
-    t0 = time.perf_counter()
-    res = run()
-    dt = time.perf_counter() - t0
+    dt = math.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = run()
+        dt = min(dt, time.perf_counter() - t0)
     assert int(res.counts.sum()) > 0
     return len(reads) / dt, n_taxa
 
@@ -577,9 +580,11 @@ def bench_keelime_e2e(graph, mapper, reads):
         return cons
 
     run()  # warm
-    t0 = time.perf_counter()
-    cons = run()
-    dt = time.perf_counter() - t0
+    dt = math.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cons = run()
+        dt = min(dt, time.perf_counter() - t0)
     assert len(cons) > 0
     return len(sub) / dt
 
@@ -707,83 +712,121 @@ def bench_multihost_ratio():
 
 
 def _note(msg):
-    import sys
-
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def main():
-    # Phase order matters on the axon backend: the per-dispatch latency
-    # grows with the process's cumulative dispatch count (measured r4:
-    # the same toy e2e runs 26.8k reads/s in a fresh process and 18.5k
-    # after the microbench phases — a ~30% tax). So the headline
-    # ratio (toy e2e vs host oracle) and the dispatch-heaviest
-    # measurements (SW kernel, mapping) run FIRST; phases that are
-    # host-bound (MCMC oracle anchors, keelime assembly) or that
-    # amortize giant device scans (MCMC samplers) run last.
-    _note("sw kernel")
-    gcups = bench_sw_kernel()
-    # the device-step microbench is the MOST latency-sensitive phase
-    # (20 dispatches of ~50us compute): run it while dispatches are
-    # still cheap
-    _note("device step")
-    dev_rps, dev_cpu_rps, dev_agree = bench_device_step()
-    _note("e2e world")
-    graph = _bench_world()
-    e2e_rps, host_rps, e2e_agree, mapper, reads = bench_haplocart_e2e(graph)
-    _note("mapping")
-    map_rps, map_rate = bench_mapping(mapper, reads)
-    _note("euka e2e (toy)")
-    euka_rps = bench_euka_e2e(graph, mapper, reads)
-    _note("haplocart real-DB mapping")
-    realdb_db, realdb_mapper, realdb_reads, n_haps = build_realdb_world()
-    map_real_rps = bench_realdb_mapping(realdb_mapper, realdb_reads)
-    _note("euka real-DB scale")
-    euka_real_rps, n_taxa = bench_euka_realdb()
-    _note("euka mcmc")
-    euka_ips = bench_euka_mcmc()
-    _note("soibean mcmc")
-    soibean_ips = bench_soibean_mcmc()
-    _note("keelime e2e")
-    keelime_rps = bench_keelime_e2e(graph, mapper, reads)
-    _note("soibean e2e")
-    soibean_rps, sb_stages = bench_soibean_e2e()
-    _note("e2e re-sample (spread best-of-N)")
-    e2e_rps = bench_haplocart_e2e_retry(e2e_rps)
-    _note("haplocart real-DB e2e + host oracle")
-    hc_real_rps, hc_real_host_rps, hc_real_agree = bench_haplocart_realdb(
-        realdb_db, realdb_mapper, realdb_reads
-    )
-    _note("multihost 2-proc ratio")
-    mh_ratio = bench_multihost_ratio()
-    _note("e2e final re-sample")
-    e2e_rps = bench_haplocart_e2e_retry(e2e_rps, last=True)
+# ------------------------------------------------------------------ phases
+# Each phase is a self-contained function returning a dict of JSON
+# fields; main() runs each in a FRESH SUBPROCESS so every measurement
+# starts at dispatch count ~0 (VERDICT r4 #2).
+def phase_sw():
+    import jax
 
-    result = {
+    gcups = bench_sw_kernel()
+    return {
+        "sw_kernel_gcups": round(gcups, 2),
+        # fraction of one-core VPU speed-of-light for the SW recurrence
+        # (~46 f32 ops/cell; see mapper/sw_pallas.py ROOFLINE)
+        "sw_vpu_fraction": round(gcups * 1e9 * 46 / 3.85e12, 3),
+        "backend": jax.default_backend(),
+    }
+
+
+def phase_device_step():
+    dev_rps, dev_cpu_rps, dev_agree = bench_device_step()
+    return {
+        "haplocart_device_reads_per_s": round(dev_rps, 1),
+        "device_vs_numpy": round(dev_rps / dev_cpu_rps, 2),
+        "device_argmax_agrees": bool(dev_agree),
+    }
+
+
+def phase_hc_toy_e2e():
+    graph = _bench_world()
+    e2e_rps, host_rps, agree, _m, _r = bench_haplocart_e2e(graph)
+    return {
         "metric": "haplocart_e2e_reads_per_s",
         "value": round(e2e_rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(e2e_rps / host_rps, 2),
         "host_oracle_e2e_reads_per_s": round(host_rps, 1),
         "workload": WORKLOAD_HASH,
-        "argmax_agrees": bool(e2e_agree),
+        "argmax_agrees": bool(agree),
+    }
+
+
+def _toy_ctx():
+    from vgan_tpu.graph.synth import sample_reads
+    from vgan_tpu.mapper.giraffe import BatchedMapper
+
+    graph = _bench_world()
+    mapper = BatchedMapper(graph, k=31, w=11)
+    reads = sample_reads(graph, 5, n_reads=N_READS_E2E, seed=0)
+    return graph, mapper, reads
+
+
+def phase_toy_mapping():
+    _g, mapper, reads = _toy_ctx()
+    map_rps, map_rate = bench_mapping(mapper, reads)
+    return {
         "mapping_reads_per_s": round(map_rps, 1),
         "mapping_rate": round(map_rate, 4),
-        # real-DB-scale shapes (VERDICT r2 #2; r3 #1 adds the host
-        # oracle ratio at the 5,179-path scale)
-        "hc_realdb_e2e_reads_per_s": round(hc_real_rps, 1),
+    }
+
+
+def phase_euka_toy():
+    graph, mapper, reads = _toy_ctx()
+    euka_rps = bench_euka_e2e(graph, mapper, reads)
+    return {"euka_e2e_reads_per_s": round(euka_rps, 1)}
+
+
+def phase_keelime():
+    graph, mapper, reads = _toy_ctx()
+    keelime_rps = bench_keelime_e2e(graph, mapper, reads)
+    return {"keelime_e2e_reads_per_s": round(keelime_rps, 1)}
+
+
+def phase_realdb_mapping():
+    _db, mapper, all_reads, n_haps = build_realdb_world()
+    map_real_rps, stage_fields = bench_realdb_mapping(mapper, all_reads)
+    out = {
         "hc_realdb_mapping_reads_per_s": round(map_real_rps, 1),
         "hc_realdb_paths": n_haps,
-        "hc_realdb_host_oracle_reads_per_s": round(hc_real_host_rps, 1),
-        "hc_realdb_vs_baseline": round(hc_real_rps / hc_real_host_rps, 2),
-        "hc_realdb_argmax_agrees": bool(hc_real_agree),
-        "euka_realdb_e2e_reads_per_s": round(euka_real_rps, 1),
+    }
+    out.update(stage_fields)
+    return out
+
+
+def phase_hc_realdb():
+    db, mapper, all_reads, _n = build_realdb_world()
+    rps, host_rps, agree = bench_haplocart_realdb(db, mapper, all_reads)
+    return {
+        "hc_realdb_e2e_reads_per_s": round(rps, 1),
+        "hc_realdb_host_oracle_reads_per_s": round(host_rps, 1),
+        "hc_realdb_vs_baseline": round(rps / host_rps, 2),
+        "hc_realdb_argmax_agrees": bool(agree),
+    }
+
+
+def phase_euka_realdb():
+    rps, n_taxa = bench_euka_realdb()
+    return {
+        "euka_realdb_e2e_reads_per_s": round(rps, 1),
         "euka_realdb_taxa": n_taxa,
-        "multihost_2proc_wallclock_ratio": round(mh_ratio, 2),
-        "haplocart_device_reads_per_s": round(dev_rps, 1),
-        "device_vs_numpy": round(dev_rps / dev_cpu_rps, 2),
-        "device_argmax_agrees": bool(dev_agree),
-        "euka_e2e_reads_per_s": round(euka_rps, 1),
+    }
+
+
+def phase_euka_mcmc():
+    return {"euka_mcmc_iters_per_s": round(bench_euka_mcmc(), 1)}
+
+
+def phase_soibean_mcmc():
+    return {"soibean_mcmc_iters_per_s": round(bench_soibean_mcmc(), 1)}
+
+
+def phase_soibean_e2e():
+    soibean_rps, sb_stages = bench_soibean_e2e()
+    return {
         # soibean e2e + its per-stage split (VERDICT r3 #3): the MCMC
         # is a fixed ~500k x 4-chain cost at reference defaults, so
         # reads/s mostly measures iteration count; the split lets each
@@ -801,17 +844,107 @@ def main():
         "soibean_mcmc_host_iters_per_s": round(
             sb_stages["mcmc_host_iters_per_s"], 1
         ),
-        "keelime_e2e_reads_per_s": round(keelime_rps, 1),
-        "euka_mcmc_iters_per_s": round(euka_ips, 1),
-        "soibean_mcmc_iters_per_s": round(soibean_ips, 1),
-        "sw_kernel_gcups": round(gcups, 2),
-        # fraction of one-core VPU speed-of-light for the SW recurrence
-        # (~46 f32 ops/cell; see mapper/sw_pallas.py ROOFLINE)
-        "sw_vpu_fraction": round(gcups * 1e9 * 46 / 3.85e12, 3),
-        "backend": jax.default_backend(),
     }
+
+
+def phase_multihost():
+    return {
+        "multihost_2proc_wallclock_ratio": round(bench_multihost_ratio(), 2)
+    }
+
+
+# (name, fn). hc_toy_e2e runs FIRST and again LAST (tagged
+# hc_toy_e2e_retry): the tunnel's slow windows last minutes, so the
+# two fresh-process samples spread the best-of-N across the run; the
+# merge keeps the better production number (the host oracle is
+# tunnel-insensitive).
+PHASES = [
+    ("hc_toy_e2e", phase_hc_toy_e2e),
+    ("sw", phase_sw),
+    ("device_step", phase_device_step),
+    ("toy_mapping", phase_toy_mapping),
+    ("euka_toy", phase_euka_toy),
+    ("realdb_mapping", phase_realdb_mapping),
+    ("hc_realdb", phase_hc_realdb),
+    ("euka_realdb", phase_euka_realdb),
+    ("euka_mcmc", phase_euka_mcmc),
+    ("soibean_mcmc", phase_soibean_mcmc),
+    ("soibean_e2e", phase_soibean_e2e),
+    ("keelime", phase_keelime),
+    ("multihost", phase_multihost),
+    ("hc_toy_e2e_retry", phase_hc_toy_e2e),
+]
+_PHASE_BY_NAME = {name: fn for name, fn in PHASES}
+
+# the merged JSON keeps a stable field order regardless of phase order
+FIELD_ORDER = [
+    "metric", "value", "unit", "vs_baseline",
+    "host_oracle_e2e_reads_per_s", "workload", "argmax_agrees",
+    "mapping_reads_per_s", "mapping_rate",
+    "hc_realdb_e2e_reads_per_s", "hc_realdb_mapping_reads_per_s",
+    "hc_realdb_paths", "hc_realdb_host_oracle_reads_per_s",
+    "hc_realdb_vs_baseline", "hc_realdb_argmax_agrees",
+    "hc_realdb_map_chunks", "hc_realdb_map_submit_s_per_chunk",
+    "hc_realdb_map_collect_s_per_chunk",
+    "hc_realdb_map_finalize_s_per_chunk", "hc_realdb_map_wall_s",
+    "euka_realdb_e2e_reads_per_s", "euka_realdb_taxa",
+    "multihost_2proc_wallclock_ratio",
+    "haplocart_device_reads_per_s", "device_vs_numpy",
+    "device_argmax_agrees",
+    "euka_e2e_reads_per_s",
+    "soibean_e2e_reads_per_s", "soibean_map_s", "soibean_precompute_s",
+    "soibean_precompute_reads_per_s", "soibean_mcmc_s",
+    "soibean_mcmc_e2e_iters_per_s", "soibean_mcmc_host_iters_per_s",
+    "keelime_e2e_reads_per_s",
+    "euka_mcmc_iters_per_s", "soibean_mcmc_iters_per_s",
+    "sw_kernel_gcups", "sw_vpu_fraction", "backend",
+]
+
+
+def run_phase(name: str) -> None:
+    """Child entry: run one phase, print its JSON fields as the last
+    stdout line."""
+    fn = _PHASE_BY_NAME[name]
+    print(json.dumps(fn()), flush=True)
+
+
+def main():
+    import subprocess
+
+    merged: dict = {}
+    errors: dict = {}
+    for name, _fn in PHASES:
+        _note(name)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", name],
+            capture_output=True, text=True, timeout=3600,
+        )
+        lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+        if proc.returncode != 0 or not lines:
+            errors[name] = (proc.stderr or "no output").strip()[-800:]
+            _note(f"{name} FAILED: {errors[name][-200:]}")
+            continue
+        fields = json.loads(lines[-1])
+        if name == "hc_toy_e2e_retry":
+            # keep the better of the two fresh-process e2e samples
+            if fields.get("value", 0) <= merged.get("value", 0):
+                continue
+        merged.update(fields)
+    if "value" not in merged:
+        raise SystemExit(
+            f"headline phase failed: {errors.get('hc_toy_e2e', '?')}"
+        )
+    if errors:
+        merged["phase_errors"] = sorted(errors)
+    result = {k: merged[k] for k in FIELD_ORDER if k in merged}
+    for k in merged:
+        if k not in result:
+            result[k] = merged[k]
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        run_phase(sys.argv[2])
+    else:
+        main()

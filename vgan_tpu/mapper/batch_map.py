@@ -319,8 +319,34 @@ def gather_and_score(mapper, reads, max_candidates: int = 8,
     return gather_collect(gather_submit(mapper, reads, max_candidates, pad))
 
 
+STAGE_TIMES = {"submit_s": 0.0, "collect_s": 0.0, "finalize_s": 0.0,
+               "chunks": 0}
+"""Per-stage wall-clock accumulator for the streaming mapper (bench
+budget fields, VERDICT r4 #3): submit = host seed+pack+async dispatch,
+collect = device wait + download + dedup/winner-select, finalize =
+native table build. Worker-thread `+=` is GIL-atomic enough for bench
+reporting; reset with reset_stage_times()."""
+
+
+def reset_stage_times() -> None:
+    STAGE_TIMES.update(submit_s=0.0, collect_s=0.0, finalize_s=0.0,
+                       chunks=0)
+
+
 def gather_submit(mapper, reads, max_candidates: int = 8,
                   pad: int = 24) -> Optional[PendingGather]:
+    import time as _t
+
+    t0 = _t.perf_counter()
+    try:
+        return _gather_submit(mapper, reads, max_candidates, pad)
+    finally:
+        STAGE_TIMES["submit_s"] += _t.perf_counter() - t0
+        STAGE_TIMES["chunks"] += 1
+
+
+def _gather_submit(mapper, reads, max_candidates: int = 8,
+                   pad: int = 24) -> Optional[PendingGather]:
     """Phase 1 of gather_and_score: seed + cluster + candidate spans +
     async device dispatch. Returns None when nothing seeded; the
     returned PendingGather's device work proceeds asynchronously."""
@@ -418,6 +444,16 @@ def gather_submit(mapper, reads, max_candidates: int = 8,
 
 
 def gather_collect(p: Optional[PendingGather]) -> Optional[BatchResult]:
+    import time as _t
+
+    t0 = _t.perf_counter()
+    try:
+        return _gather_collect(p)
+    finally:
+        STAGE_TIMES["collect_s"] += _t.perf_counter() - t0
+
+
+def _gather_collect(p: Optional[PendingGather]) -> Optional[BatchResult]:
     """Phase 2 of gather_and_score: download scores/hashes, dedup,
     winner-select -> BatchResult."""
     if p is None:
@@ -602,6 +638,21 @@ def finalize_table(mapper, reads, br: Optional[BatchResult],
                    mq_override: Optional[np.ndarray] = None,
                    second_override: Optional[np.ndarray] = None,
                    ) -> "AlignmentTable":
+    import time as _t
+
+    t0 = _t.perf_counter()
+    try:
+        return _finalize_table(mapper, reads, br, sel_override,
+                               mq_override, second_override)
+    finally:
+        STAGE_TIMES["finalize_s"] += _t.perf_counter() - t0
+
+
+def _finalize_table(mapper, reads, br: Optional[BatchResult],
+                    sel_override: Optional[np.ndarray] = None,
+                    mq_override: Optional[np.ndarray] = None,
+                    second_override: Optional[np.ndarray] = None,
+                    ) -> "AlignmentTable":
     """Run the native batch finalize; columnar output.
 
     sel_override[i]: candidate row to finalize for read i (-1 =
