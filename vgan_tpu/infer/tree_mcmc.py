@@ -126,9 +126,10 @@ def hky25(t, con, freqs: Dict[str, float]):
 # ---------------------------------------------------------------------------
 # tree walk (updatePosition)
 # ---------------------------------------------------------------------------
-def _pick_child(key, tree: TreeArrays, node):
+def _pick_child_u(tree: TreeArrays, node, u):
+    """Child pick from a pregenerated uniform in [0,1)."""
     nc = jnp.maximum(tree.n_children[node], 1)
-    j = jax.random.randint(key, (), 0, nc)
+    j = jnp.minimum((u * nc).astype(jnp.int32), nc - 1)
     return tree.children[node, j]
 
 
@@ -137,19 +138,21 @@ WALK_HOPS = 32  # fixed bound (the C++ loop is unbounded; moves rarely
 POST_BURN_HOPS = 8  # post-burn-in proposal sd <= 1 -> short walks
 
 
-def update_position(key, tree: TreeArrays, node, pos, move, forward,
-                    walk_hops: int = WALK_HOPS):
+def update_position(tree: TreeArrays, node, pos, move, forward, walk_u):
     """One proposal move of `move` (>0) in direction `forward`.
 
-    A fixed-trip fori_loop with masked no-ops instead of a while_loop:
-    the axon remote compiler stalls on while-in-scan-in-vmap control
-    flow, and a bounded loop compiles quickly with identical results
-    for any walk shorter than WALK_HOPS."""
-
-    def body(_i, c):
-        key, node, pos, d, fwd, it = c
+    walk_u: [hops, 4] pregenerated uniforms (child pick, parent-vs-
+    sibling pick, root-bounce child pick, sibling-child pick per hop).
+    The hop loop is a PYTHON loop unrolled into the enclosing scan body
+    (hops is static): a nested fori_loop/while op inside the sampler
+    scan costs per-hop control overhead on the serial critical path,
+    and pregenerated uniforms keep threefry off that path entirely
+    (r5; see SAMPLER ROOFLINE below). Masked no-ops make any walk
+    shorter than `hops` identical to the reference's unbounded loop."""
+    d, fwd = move, forward
+    for h in range(walk_u.shape[0]):
+        u = walk_u[h]
         active = d > 0.0
-        key, k1, k2 = jax.random.split(key, 3)
         is_leaf = tree.n_children[node] == 0
         par = tree.parent[node]
         is_root = par < 0
@@ -162,7 +165,7 @@ def update_position(key, tree: TreeArrays, node, pos, move, forward,
         f2_pos, f2_d, f2_node, f2_fwd = pos, d, node, False
         # cross into a random child
         rem = jnp.maximum(d - (1.0 - pos), 0.0)
-        child = _pick_child(k1, tree, node)
+        child = _pick_child_u(tree, node, u[0])
         f3_pos = jnp.where(rem > 1.0, 1.0, rem)
         f3_d = jnp.where(rem > 1.0, rem - 1.0, 0.0)
         f3_node, f3_fwd = child, fwd
@@ -177,14 +180,17 @@ def update_position(key, tree: TreeArrays, node, pos, move, forward,
         b1_pos, b1_d, b1_node, b1_fwd = pos - d, 0.0, node, fwd
 
         # root bounce: flip direction, hop to a random child, keep d/pos
-        root_child = _pick_child(k1, tree, node)
+        root_child = _pick_child_u(tree, node, u[2])
         b2_pos, b2_d, b2_node, b2_fwd = pos, d, root_child, True
 
         # choose parent or a sibling: possible = [parent] (+ siblings if
         # this node is internal, `src/MCMC.cpp:320-330`)
         nsib = jnp.where(is_leaf, 0, jnp.maximum(tree.n_children[par], 1) - 1)
         n_possible = 1 + nsib
-        pick = jax.random.randint(k1, (), 0, jnp.maximum(n_possible, 1))
+        pick = jnp.minimum(
+            (u[1] * n_possible).astype(jnp.int32),
+            jnp.maximum(n_possible, 1) - 1,
+        )
         chose_parent = pick == 0
 
         # parent move
@@ -205,7 +211,7 @@ def update_position(key, tree: TreeArrays, node, pos, move, forward,
         sib_leaf = tree.n_children[sibling] == 0
         # cross into a random child of the sibling
         rems2 = jnp.maximum(d - 1.0, 0.0)  # d - (1 - 0) per `src/MCMC.cpp:420`
-        sib_child = _pick_child(k2, tree, sibling)
+        sib_child = _pick_child_u(tree, sibling, u[3])
         bs_pos = jnp.where(
             s_stay,
             jnp.maximum(rems, 0.0),
@@ -239,15 +245,10 @@ def update_position(key, tree: TreeArrays, node, pos, move, forward,
         node2 = jnp.where(fwd, fw_node, bw_node)
         fwd2 = jnp.where(fwd, fw_fwd, bw_fwd)
         # masked no-op once the move is exhausted
-        pos2 = jnp.where(active, pos2, pos)
-        d2 = jnp.where(active, d2, d)
-        node2 = jnp.where(active, node2, node)
-        fwd2 = jnp.where(active, fwd2, fwd)
-        return (key, node2.astype(jnp.int32), pos2, d2, fwd2, it + 1)
-
-    key, node, pos, d, fwd, _ = jax.lax.fori_loop(
-        0, walk_hops, body, (key, node, pos, move, forward, 0)
-    )
+        pos = jnp.where(active, pos2, pos)
+        d = jnp.where(active, d2, d)
+        node = jnp.where(active, node2, node).astype(jnp.int32)
+        fwd = jnp.where(active, fwd2, fwd)
     return node, pos
 
 
@@ -269,110 +270,6 @@ def sd_schedule(max_iter: int, burn: int, num_paths: int) -> np.ndarray:
     return sd
 
 
-@partial(jax.jit, static_argnames=("max_iter", "burn"))
-def _run_chain(
-    key,
-    init_nodes,  # [k] int32
-    path_map,  # [R, P]
-    counts25,  # [R, P, 25]
-    tree_parent,
-    tree_dist,
-    tree_children,
-    tree_nchildren,
-    sd,  # [max_iter+1]
-    con,
-    freq_arr,  # [7]: A C G T R Y M
-    init_loglike,
-    max_iter: int,
-    burn: int,
-):
-    tree = TreeArrays(
-        tree_parent, jnp.asarray(tree_dist, F), tree_children, tree_nchildren
-    )
-    sd = jnp.asarray(sd, F)
-    con = jnp.asarray(con, F)
-    freq_arr = jnp.asarray(freq_arr, F)
-    path_map = jnp.asarray(path_map, F)
-    counts25 = jnp.asarray(counts25, F)
-    k = init_nodes.shape[0]
-    freqs = {
-        n: freq_arr[i] for i, n in enumerate(["A", "C", "G", "T", "R", "Y", "M"])
-    }
-
-    def log_like(nodes, pos, theta):
-        par = tree.parent[nodes]
-        par = jnp.where(par < 0, nodes, par)
-        t = tree.dist[nodes]
-        t = jnp.where(t == 0.0, 1e-5, t)
-        t1 = pos * t
-        t2 = t - t1
-
-        def source_ll(c, p, t1_y, t2_y, pos_y):
-            h_c = hky25(t2_y, con, freqs)
-            h_p = hky25(t1_y, con, freqs)
-            llc = path_map[:, c] + counts25[:, c, :] @ h_c
-            llp = path_map[:, p] + counts25[:, p, :] @ h_p
-            return jnp.logaddexp(jnp.log(pos_y) + llc, jnp.log1p(-pos_y) + llp)
-
-        per_src = jax.vmap(source_ll)(nodes, par, t1, t2, pos)  # [k, R]
-        inter = jax.scipy.special.logsumexp(
-            per_src + jnp.log(theta)[:, None], axis=0
-        )
-        return inter.sum()
-
-    def step(carry, inp):
-        key, nodes, pos, theta, cur_ll = carry
-        it, sd_it = inp
-        key, kd, kw, kt, ku = jax.random.split(key, 5)
-
-        # branch-position proposal (skipped at iteration 0)
-        deltas = jax.random.normal(kd, (k,), dtype=jnp.float32).astype(F) * sd_it
-        walk_keys = jax.random.split(kw, k)
-
-        def walk_one(wk, n, p, d):
-            return update_position(wk, tree, n, p, jnp.abs(d), d >= 0)
-
-        new_nodes, new_pos = jax.vmap(walk_one)(walk_keys, nodes, pos, deltas)
-        new_nodes = jnp.where(it == 0, nodes, new_nodes)
-        new_pos = jnp.where(it == 0, pos, new_pos)
-        new_pos = jnp.clip(new_pos, 1e-12, 1.0 - 1e-10)
-
-        # proportion proposal: truncated N(theta, 0.1) on [0,1], renorm
-        lo = (0.0 - theta) / 0.1
-        hi = (1.0 - theta) / 0.1
-        z = jax.random.truncated_normal(
-            kt, lo.astype(jnp.float32), hi.astype(jnp.float32), (k,),
-            dtype=jnp.float32,
-        ).astype(F)
-        new_theta = theta + 0.1 * z
-        new_theta = new_theta / new_theta.sum()
-
-        prop_ll = log_like(new_nodes, new_pos, new_theta)
-        accept = (
-            jax.random.uniform(ku, dtype=jnp.float32).astype(F)
-            <= jnp.minimum(1.0, jnp.exp(prop_ll - cur_ll))
-        ) | (it == 0)
-
-        # record PRE-update state (reference records state_t)
-        rec = (nodes, pos, theta, cur_ll)
-
-        nodes = jnp.where(accept, new_nodes, nodes)
-        pos = jnp.where(accept, new_pos, pos)
-        theta = jnp.where(accept, new_theta, theta)
-        cur_ll = jnp.where(accept, prop_ll, cur_ll)
-        return (key, nodes, pos, theta, cur_ll), rec
-
-    init_pos = jnp.full((k,), 0.5, dtype=F)
-    init_theta = jax.random.dirichlet(
-        jax.random.fold_in(key, 17), jnp.ones(k, dtype=jnp.float32)
-    ).astype(F)  # uniform random normalized start (`MCMC.h generateRandomNumbers`)
-    iters = jnp.arange(max_iter + 1)
-    carry0 = (key, init_nodes, init_pos, init_theta, jnp.asarray(init_loglike, F))
-    _, (rn, rp, rt, rl) = jax.lax.scan(step, carry0, (iters, jnp.asarray(sd)))
-    # keep iterations > burn (the reference records those)
-    return rn[burn + 1 :], rp[burn + 1 :], rt[burn + 1 :], rl[burn + 1 :]
-
-
 def run_tree_mcmc(
     tree,
     stats_path_map: np.ndarray,
@@ -386,33 +283,68 @@ def run_tree_mcmc(
     init_loglike: float,
     seed: int = 0,
 ) -> MCMCTrace:
-    """Run one chain; chains are run with different seeds/sources by the
-    driver (vmap over chains is possible but chains use different
-    source inits, so we map at the host level)."""
-    sd = sd_schedule(max_iter, burn, num_paths)
-    freq_arr = jnp.asarray(
-        [freqs[n] for n in ["A", "C", "G", "T", "R", "Y", "M"]], F
+    """Run one chain (thin wrapper over the vmapped segment runner)."""
+    tr = run_tree_mcmc_chains(
+        tree, stats_path_map, stats_counts25,
+        np.asarray(sources, np.int32)[None, :], freqs, con,
+        max_iter, burn, num_paths, init_loglike,
+        seeds=np.asarray([seed]),
     )
-    rn, rp, rt, rl = _run_chain(
-        jax.random.PRNGKey(seed),
-        jnp.asarray(sources, jnp.int32),
-        jnp.asarray(stats_path_map, F),
-        jnp.asarray(stats_counts25, F),
-        jnp.asarray(tree.parent, jnp.int32),
-        jnp.asarray(tree.dist, F),
-        jnp.asarray(tree.children, jnp.int32),
-        jnp.asarray(tree.n_children, jnp.int32),
-        sd,
-        jnp.asarray(con, F),
-        freq_arr,
-        init_loglike,
-        max_iter=max_iter,
-        burn=burn,
-    )
-    return MCMCTrace(
-        node=np.asarray(rn), pos=np.asarray(rp), theta=np.asarray(rt),
-        loglike=np.asarray(rl),
-    )
+    return MCMCTrace(node=tr.node[0], pos=tr.pos[0], theta=tr.theta[0],
+                     loglike=tr.loglike[0])
+
+
+# ---------------------------------------------------------------------------
+# SAMPLER ROOFLINE (r5). One MH iteration is inherently SERIAL: state
+# -> walk -> likelihood -> accept -> state, so throughput is bounded by
+# the per-step latency of the scan body, not by FLOPs (the likelihood
+# is ~4*R*25 MACs ~= 20-200 kFLOP — microseconds of VPU time). The
+# levers are therefore (a) keeping everything off the serial path that
+# can be precomputed, and (b) minimizing per-step loop overhead:
+#   * ALL per-iteration randomness (walk deltas + per-hop child picks,
+#     truncated-normal uniforms, accept uniforms) is pregenerated
+#     OUTSIDE the scan in one embarrassingly-parallel vmapped threefry
+#     pass keyed counter-style as fold_in(chain_key, iteration) — the
+#     body consumes them as scan xs. This removes ~20 sequential
+#     threefry invocations (5 splits + per-hop split(3)) per step.
+#   * the tree-walk hop loop is a PYTHON loop unrolled into the body
+#     (was: nested fori_loop -> a nested XLA while op whose per-hop
+#     control overhead sits on the critical path).
+#   * the scan itself runs with unroll>1 post-burn-in, amortizing the
+#     while-op bookkeeping over several MH steps.
+#   * segments are NOISE_SEG iterations so the pregenerated noise stays
+#     tens of MB; fold_in(key, absolute_iter) keying makes the stream
+#     segmentation-invariant (checkpoint/resume bit-parity).
+# Counter-keyed noise means a fixed ~200 f32 of HBM traffic per step —
+# at 500k iters that is ~100 MB/chain/run, generated at device
+# memory-bandwidth speed off the critical path.
+# ---------------------------------------------------------------------------
+NOISE_SEG = 32768  # iterations per jitted segment (bounds noise HBM)
+
+
+@partial(jax.jit, static_argnames=("k", "hops"))
+def _gen_noise(key, iters, k: int, hops: int):
+    """Pregenerate one segment's per-iteration randomness, keyed
+    counter-style by absolute iteration so any segmentation of the same
+    chain key yields the same stream."""
+
+    def one(it):
+        kk = jax.random.fold_in(key, it)
+        kd, kw, kt, ku = jax.random.split(kk, 4)
+        deltas = jax.random.normal(kd, (k,), dtype=jnp.float32)
+        walk_u = jax.random.uniform(kw, (k, hops, 4), dtype=jnp.float32)
+        trunc_u = jax.random.uniform(kt, (k,), dtype=jnp.float32)
+        acc_u = jax.random.uniform(ku, (), dtype=jnp.float32)
+        return deltas, walk_u, trunc_u, acc_u
+
+    return jax.vmap(one)(iters)
+
+
+def _init_theta_for_key(key, k: int):
+    """Uniform random normalized start (`MCMC.h generateRandomNumbers`)."""
+    return jax.random.dirichlet(
+        jax.random.fold_in(key, 17), jnp.ones(k, dtype=jnp.float32)
+    ).astype(F)
 
 
 def run_tree_mcmc_chains(
@@ -436,8 +368,9 @@ def run_tree_mcmc_chains(
     `src/soibean.cpp:805-840`); traces come back stacked [C, ...].
     The run is split at the burn-in boundary: burn-in proposals use the
     full 32-hop tree walk (initSD can be several branch lengths), the
-    post-burn-in phase (sd <= 1) uses an 8-hop walk — 4x fewer ops per
-    iteration for ~85% of the run."""
+    post-burn-in phase (sd <= 1) uses an 8-hop walk. Within each phase
+    the run proceeds in NOISE_SEG-iteration segments whose randomness
+    is pregenerated off the serial path (see SAMPLER ROOFLINE)."""
     sd = sd_schedule(max_iter, burn, num_paths)
     freq_arr = jnp.asarray(
         [freqs[n] for n in ["A", "C", "G", "T", "R", "Y", "M"]], F
@@ -452,13 +385,8 @@ def run_tree_mcmc_chains(
         keys = jax.device_put(keys, sh)
         srcs = jax.device_put(srcs, sh)
 
-    init_theta = jax.vmap(
-        lambda kk: jax.random.dirichlet(
-            jax.random.fold_in(kk, 17), jnp.ones(k, dtype=jnp.float32)
-        ).astype(F)
-    )(keys)
+    init_theta = jax.vmap(partial(_init_theta_for_key, k=k))(keys)
     carry = (
-        keys,
         srcs,
         jnp.full((C, k), 0.5, dtype=F),
         init_theta,
@@ -477,18 +405,25 @@ def run_tree_mcmc_chains(
     total = max_iter + 1
     split = min(burn + 1, total)
     recs_all = []
-    for (i0, i1, hops) in ((0, split, WALK_HOPS), (split, total, POST_BURN_HOPS)):
-        if i1 <= i0:
-            continue
-        seg = jax.vmap(
-            lambda kk, nn, pp, tt, ll: _run_segment(
-                kk, nn, pp, tt, ll,
-                jnp.arange(i0, i1), jnp.asarray(sd[i0:i1]),
-                *args, walk_hops=hops,
+    for (p0, p1, hops) in ((0, split, WALK_HOPS),
+                           (split, total, POST_BURN_HOPS)):
+        i0 = p0
+        while i0 < p1:
+            i1 = min(i0 + NOISE_SEG, p1)
+            iters = jnp.arange(i0, i1)
+            noise = jax.vmap(
+                lambda kk: _gen_noise(kk, iters, k=k, hops=hops)
+            )(keys)
+            seg = jax.vmap(
+                lambda nn, pp, tt, ll, nz: _run_segment(
+                    nn, pp, tt, ll,
+                    iters, jnp.asarray(sd[i0:i1]), nz,
+                    *args, walk_hops=hops,
+                )
             )
-        )
-        carry, recs = seg(*carry)
-        recs_all.append(recs)
+            carry, recs = seg(*carry, noise)
+            recs_all.append(recs)
+            i0 = i1
     rn = np.concatenate([np.asarray(r[0]) for r in recs_all], axis=1)
     rp = np.concatenate([np.asarray(r[1]) for r in recs_all], axis=1)
     rt = np.concatenate([np.asarray(r[2]) for r in recs_all], axis=1)
@@ -505,9 +440,10 @@ def run_tree_mcmc_chains(
 # ---------------------------------------------------------------------------
 @partial(jax.jit, static_argnames=("walk_hops",))
 def _run_segment(
-    carry_key, carry_nodes, carry_pos, carry_theta, carry_ll,
+    carry_nodes, carry_pos, carry_theta, carry_ll,
     iters,  # [S] absolute iteration numbers
     sd_seg,  # [S]
+    noise,  # (deltas [S,k], walk_u [S,k,hops,4], trunc_u [S,k], acc_u [S])
     path_map, counts25,
     tree_parent, tree_dist, tree_children, tree_nchildren,
     con, freq_arr,
@@ -521,7 +457,6 @@ def _run_segment(
     path_map = jnp.asarray(path_map, F)
     counts25 = jnp.asarray(counts25, F)
     freq_arr = jnp.asarray(freq_arr, F)
-    k = carry_nodes.shape[0]
     freqs = {
         n: freq_arr[i] for i, n in enumerate(["A", "C", "G", "T", "R", "Y", "M"])
     }
@@ -548,31 +483,32 @@ def _run_segment(
         return inter.sum()
 
     def step(carry, inp):
-        key, nodes, pos, theta, cur_ll = carry
-        it, sd_it = inp
-        key, kd, kw, kt, ku = jax.random.split(key, 5)
-        deltas = jax.random.normal(kd, (k,), dtype=jnp.float32).astype(F) * sd_it
-        walk_keys = jax.random.split(kw, k)
+        nodes, pos, theta, cur_ll = carry
+        it, sd_it, delta_n, walk_u, trunc_u, acc_u = inp
+        deltas = delta_n.astype(F) * sd_it
 
-        def walk_one(wk, n, p, d):
-            return update_position(wk, tree, n, p, jnp.abs(d), d >= 0,
-                                   walk_hops=walk_hops)
+        def walk_one(n, p, d, wu):
+            return update_position(tree, n, p, jnp.abs(d), d >= 0, wu)
 
-        new_nodes, new_pos = jax.vmap(walk_one)(walk_keys, nodes, pos, deltas)
+        new_nodes, new_pos = jax.vmap(walk_one)(nodes, pos, deltas, walk_u)
         new_nodes = jnp.where(it == 0, nodes, new_nodes)
         new_pos = jnp.where(it == 0, pos, new_pos)
         new_pos = jnp.clip(new_pos, 1e-12, 1.0 - 1e-10)
+        # truncated N(theta, 0.1) on [0,1] by inverse CDF from the
+        # pregenerated uniform (same distribution as
+        # jax.random.truncated_normal, which is also Phi^-1-based)
         lo = (0.0 - theta) / 0.1
         hi = (1.0 - theta) / 0.1
-        z = jax.random.truncated_normal(
-            kt, lo.astype(jnp.float32), hi.astype(jnp.float32), (k,),
-            dtype=jnp.float32,
-        ).astype(F)
+        plo = jax.scipy.special.ndtr(lo)
+        phi = jax.scipy.special.ndtr(hi)
+        u = jnp.clip(trunc_u.astype(F), 1e-7, 1.0 - 1e-7)
+        z = jax.scipy.special.ndtri(plo + u * (phi - plo))
+        z = jnp.clip(z, lo, hi)
         new_theta = theta + 0.1 * z
         new_theta = new_theta / new_theta.sum()
         prop_ll = log_like(new_nodes, new_pos, new_theta)
         accept = (
-            jax.random.uniform(ku, dtype=jnp.float32).astype(F)
+            acc_u.astype(F)
             <= jnp.minimum(1.0, jnp.exp(prop_ll - cur_ll))
         ) | (it == 0)
         rec = (nodes, pos, theta, cur_ll)
@@ -580,10 +516,16 @@ def _run_segment(
         pos = jnp.where(accept, new_pos, pos)
         theta = jnp.where(accept, new_theta, theta)
         cur_ll = jnp.where(accept, prop_ll, cur_ll)
-        return (key, nodes, pos, theta, cur_ll), rec
+        return (nodes, pos, theta, cur_ll), rec
 
-    carry0 = (carry_key, carry_nodes, carry_pos, carry_theta, carry_ll)
-    carry, recs = jax.lax.scan(step, carry0, (iters, sd_seg))
+    carry0 = (carry_nodes, carry_pos, carry_theta, carry_ll)
+    # unroll the post-burn-in scan (8-hop walks): several MH steps per
+    # while-op trip amortize loop bookkeeping on the serial path; the
+    # 32-hop burn-in body is already large, keep it unrolled=1
+    unroll = 4 if walk_hops <= POST_BURN_HOPS else 1
+    carry, recs = jax.lax.scan(
+        step, carry0, (iters, sd_seg) + tuple(noise), unroll=unroll
+    )
     return carry, recs
 
 
@@ -613,13 +555,14 @@ def run_tree_mcmc_checkpointed(
     total = max_iter + 1
     k = len(sources)
 
+    key = jax.random.PRNGKey(seed)
     start = 0
     segments: list = []
     if checkpoint_path and os.path.exists(checkpoint_path):
         z = np.load(checkpoint_path, allow_pickle=False)
         start = int(z["next_iter"])
+        key = jnp.asarray(z["key"])  # base chain key (noise regen)
         carry = (
-            jnp.asarray(z["key"]),
             jnp.asarray(z["nodes"], jnp.int32),
             jnp.asarray(z["pos"], F),
             jnp.asarray(z["theta"], F),
@@ -629,15 +572,10 @@ def run_tree_mcmc_checkpointed(
             (z["rec_nodes"], z["rec_pos"], z["rec_theta"], z["rec_ll"])
         ]
     else:
-        key = jax.random.PRNGKey(seed)
-        init_theta = jax.random.dirichlet(
-            jax.random.fold_in(key, 17), jnp.ones(k, dtype=jnp.float32)
-        ).astype(F)
         carry = (
-            key,
             jnp.asarray(sources, jnp.int32),
             jnp.full((k,), 0.5, dtype=F),
-            init_theta,
+            _init_theta_for_key(key, k),
             jnp.asarray(init_loglike, F),
         )
 
@@ -651,8 +589,9 @@ def run_tree_mcmc_checkpointed(
         jnp.asarray(con, F),
         jnp.asarray(freq_arr, F),
     )
+    last_saved = start
     while start < total:
-        end = min(start + checkpoint_every, total)
+        end = min(start + min(checkpoint_every, NOISE_SEG), total)
         # same burn-boundary hop split as run_tree_mcmc_chains so a
         # checkpointed run matches the vmapped production sampler
         if start < burn + 1:
@@ -661,26 +600,31 @@ def run_tree_mcmc_checkpointed(
         else:
             hops = POST_BURN_HOPS
         iters = jnp.arange(start, end)
+        noise = _gen_noise(key, iters, k=k, hops=hops)
         carry, recs = _run_segment(
-            *carry, iters, jnp.asarray(sd[start:end]), *args, walk_hops=hops
+            *carry, iters, jnp.asarray(sd[start:end]), noise, *args,
+            walk_hops=hops,
         )
         rn, rp, rt, rl = (np.asarray(x) for x in recs)
         segments.append((rn, rp, rt, rl))
         start = end
-        if checkpoint_path:
+        if checkpoint_path and (
+            start - last_saved >= checkpoint_every or start >= total
+        ):
             acc = [np.concatenate([seg[i] for seg in segments]) for i in range(4)]
             np.savez(
                 checkpoint_path,
                 next_iter=start,
-                key=np.asarray(carry[0]),
-                nodes=np.asarray(carry[1]),
-                pos=np.asarray(carry[2]),
-                theta=np.asarray(carry[3]),
-                ll=np.asarray(carry[4]),
+                key=np.asarray(key),
+                nodes=np.asarray(carry[0]),
+                pos=np.asarray(carry[1]),
+                theta=np.asarray(carry[2]),
+                ll=np.asarray(carry[3]),
                 rec_nodes=acc[0], rec_pos=acc[1], rec_theta=acc[2],
                 rec_ll=acc[3],
             )
             segments = [tuple(acc)]
+            last_saved = start
 
     rn, rp, rt, rl = (
         np.concatenate([seg[i] for seg in segments]) for i in range(4)
