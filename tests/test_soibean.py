@@ -221,6 +221,51 @@ def test_chain_parallel_over_mesh(toy_graph, toy_reads):
     assert np.isfinite(trace.loglike).all()
 
 
+def test_ksweep_matches_chains_runner(toy_graph, toy_reads):
+    """The vmapped k-sweep batch (all k x chains in one program) is
+    BIT-IDENTICAL to the standalone chains runner for the row whose
+    source count equals the padded width (same seeds -> same
+    counter-keyed noise), and the masked k=1 rows keep theta == 1."""
+    from vgan_tpu.utils.newick import parse_newick
+
+    stats = soibean.analyse_reads(toy_graph, toy_reads)
+    names = list(toy_graph.path_names)
+    t = parse_newick(f"({names[0]}:0.2,dummy:0.3)root;")
+    idx = t.name_to_index()
+    path_map = np.concatenate(
+        [stats.path_map, stats.path_map - 50.0, stats.path_map - 10.0], axis=1
+    )
+    counts25 = np.concatenate([stats.counts25] * 3, axis=1)
+    order = np.argsort([idx[names[0]], idx["dummy"], idx["root"]])
+    path_map = path_map[:, order]
+    counts25 = counts25[:, order, :]
+    freqs = soibean.make_freqs(0.25, 0.25, 0.25, 0.25)
+    C = 2
+    n0 = idx[names[0]]
+    srcs1 = np.full((C, 1), n0, dtype=np.int32)
+    srcs2 = np.array([[n0, idx["dummy"]], [idx["dummy"], n0]],
+                     dtype=np.int32)
+    seeds1 = np.arange(C) + 3
+    seeds2 = np.arange(C) + 40
+    ll = float(stats.path_map[:, 0].sum())
+    kw = dict(con=0.01, max_iter=300, burn=60, num_paths=3)
+    sweep = tree_mcmc.run_tree_mcmc_ksweep(
+        t, path_map, counts25, [srcs1, srcs2], freqs,
+        init_logls=[ll, ll - 1.0], seeds_per_k=[seeds1, seeds2], **kw,
+    )
+    ref2 = tree_mcmc.run_tree_mcmc_chains(
+        t, path_map, counts25, srcs2, freqs, init_loglike=ll - 1.0,
+        seeds=seeds2, **kw,
+    )
+    np.testing.assert_array_equal(sweep[1].node, ref2.node)
+    np.testing.assert_allclose(sweep[1].loglike, ref2.loglike)
+    np.testing.assert_allclose(sweep[1].theta, ref2.theta)
+    np.testing.assert_allclose(sweep[1].pos, ref2.pos)
+    # k=1 rows: single active source keeps theta exactly 1
+    np.testing.assert_allclose(sweep[0].theta, 1.0)
+    assert np.isfinite(sweep[0].loglike).all()
+
+
 def test_checkpointed_mcmc_resumes(toy_graph, toy_reads, tmp_path):
     """Segmented sampler with a checkpoint produces the same trace as a
     straight run, and resumes from the snapshot after interruption."""

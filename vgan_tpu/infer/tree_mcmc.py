@@ -416,7 +416,7 @@ def run_tree_mcmc_chains(
             )(keys)
             seg = jax.vmap(
                 lambda nn, pp, tt, ll, nz: _run_segment(
-                    nn, pp, tt, ll,
+                    nn, pp, tt, ll, jnp.ones(k, bool),
                     iters, jnp.asarray(sd[i0:i1]), nz,
                     *args, walk_hops=hops,
                 )
@@ -434,6 +434,128 @@ def run_tree_mcmc_chains(
     )
 
 
+def run_tree_mcmc_ksweep(
+    tree,
+    stats_path_map: np.ndarray,
+    stats_counts25: np.ndarray,
+    sources_per_k,  # list over k: [C, k_i] int32
+    freqs: Dict[str, float],
+    con: float,
+    max_iter: int,
+    burn: int,
+    num_paths: int,
+    init_logls,  # list over k: float
+    seeds_per_k,  # list over k: [C]
+    mesh=None,
+):
+    """Run the WHOLE k-sweep (k = 1..K, C chains each) as ONE vmapped
+    device batch of K*C rows — the reference runs each k sequentially
+    (`src/soibean.cpp:745-840`), multiplying the dominant sampler
+    wall-clock by K. Rows pad their source axis to Kmax with a mask:
+    padded slots keep theta = 0 and weigh -inf in the mixture, so each
+    row's math equals the equivalent standalone k_i-source chain (the
+    per-row latency of one MH step is unchanged by batch width at
+    these sizes — see SAMPLER ROOFLINE). Returns a list of MCMCTrace,
+    entry i holding that k's [C, iters, k_i] trace."""
+    K = len(sources_per_k)
+    Kmax = max(s.shape[1] for s in sources_per_k)
+    C = sources_per_k[0].shape[0]
+    B = K * C
+    sd = sd_schedule(max_iter, burn, num_paths)
+    freq_arr = jnp.asarray(
+        [freqs[n] for n in ["A", "C", "G", "T", "R", "Y", "M"]], F
+    )
+    srcs = np.zeros((B, Kmax), dtype=np.int32)
+    mask = np.zeros((B, Kmax), dtype=bool)
+    ll0 = np.zeros(B, dtype=np.float64)
+    seeds = np.zeros(B, dtype=np.int64)
+    for i, s in enumerate(sources_per_k):
+        ki = s.shape[1]
+        rows = slice(i * C, (i + 1) * C)
+        srcs[rows, :ki] = s
+        mask[rows, :ki] = True
+        ll0[rows] = init_logls[i]
+        seeds[rows] = np.asarray(seeds_per_k[i])
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, jnp.uint32))
+    srcs_j = jnp.asarray(srcs)
+    mask_j = jnp.asarray(mask)
+    if mesh is not None and B % mesh.size == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("dp"))
+        keys = jax.device_put(keys, sh)
+        srcs_j = jax.device_put(srcs_j, sh)
+        mask_j = jax.device_put(mask_j, sh)
+
+    # per-row init theta via the per-k formula (padded slots 0), so a
+    # row with k_i == Kmax is BIT-IDENTICAL to the standalone chains
+    # runner with the same seed (parity-tested)
+    init_theta_np = np.zeros((B, Kmax), dtype=np.float64)
+    for i, s in enumerate(sources_per_k):
+        ki = s.shape[1]
+        rows = slice(i * C, (i + 1) * C)
+        th = jax.vmap(partial(_init_theta_for_key, k=ki))(keys[rows])
+        init_theta_np[rows, :ki] = np.asarray(th)
+    init_theta = jnp.asarray(init_theta_np, F)
+    if mesh is not None and B % mesh.size == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        init_theta = jax.device_put(init_theta, NamedSharding(mesh, P("dp")))
+    carry = (
+        srcs_j,
+        jnp.full((B, Kmax), 0.5, dtype=F),
+        init_theta,
+        jnp.asarray(ll0, F),
+    )
+    args = (
+        jnp.asarray(stats_path_map, F),
+        jnp.asarray(stats_counts25, F),
+        jnp.asarray(tree.parent, jnp.int32),
+        jnp.asarray(tree.dist, F),
+        jnp.asarray(tree.children, jnp.int32),
+        jnp.asarray(tree.n_children, jnp.int32),
+        jnp.asarray(con, F),
+        freq_arr,
+    )
+    total = max_iter + 1
+    split = min(burn + 1, total)
+    recs_all = []
+    for (p0, p1, hops) in ((0, split, WALK_HOPS),
+                           (split, total, POST_BURN_HOPS)):
+        i0 = p0
+        while i0 < p1:
+            i1 = min(i0 + NOISE_SEG, p1)
+            iters = jnp.arange(i0, i1)
+            noise = jax.vmap(
+                lambda kk: _gen_noise(kk, iters, k=Kmax, hops=hops)
+            )(keys)
+            seg = jax.vmap(
+                lambda nn, pp, tt, ll, mm, nz: _run_segment(
+                    nn, pp, tt, ll, mm,
+                    iters, jnp.asarray(sd[i0:i1]), nz,
+                    *args, walk_hops=hops,
+                )
+            )
+            carry, recs = seg(*carry, mask_j, noise)
+            recs_all.append(recs)
+            i0 = i1
+    rn = np.concatenate([np.asarray(r[0]) for r in recs_all], axis=1)
+    rp = np.concatenate([np.asarray(r[1]) for r in recs_all], axis=1)
+    rt = np.concatenate([np.asarray(r[2]) for r in recs_all], axis=1)
+    rl = np.concatenate([np.asarray(r[3]) for r in recs_all], axis=1)
+    out = []
+    for i, s in enumerate(sources_per_k):
+        ki = s.shape[1]
+        rows = slice(i * C, (i + 1) * C)
+        out.append(MCMCTrace(
+            node=rn[rows, burn + 1 :, :ki],
+            pos=rp[rows, burn + 1 :, :ki],
+            theta=rt[rows, burn + 1 :, :ki],
+            loglike=rl[rows, burn + 1 :],
+        ))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # checkpoint / resume (SURVEY.md §5: the reference has none; long MCMC
 # runs here snapshot chain state periodically and resume exactly)
@@ -441,6 +563,7 @@ def run_tree_mcmc_chains(
 @partial(jax.jit, static_argnames=("walk_hops",))
 def _run_segment(
     carry_nodes, carry_pos, carry_theta, carry_ll,
+    mask,  # [k] bool: active source slots (all-true outside the k-sweep)
     iters,  # [S] absolute iteration numbers
     sd_seg,  # [S]
     noise,  # (deltas [S,k], walk_u [S,k,hops,4], trunc_u [S,k], acc_u [S])
@@ -477,8 +600,10 @@ def _run_segment(
             return jnp.logaddexp(jnp.log(pos_y) + llc, jnp.log1p(-pos_y) + llp)
 
         per_src = jax.vmap(source_ll)(nodes, par, t1, t2, pos)
+        # inactive (k-sweep padding) slots weigh -inf: excluded exactly
+        theta_log = jnp.where(mask, jnp.log(theta), -jnp.inf)
         inter = jax.scipy.special.logsumexp(
-            per_src + jnp.log(theta)[:, None], axis=0
+            per_src + theta_log[:, None], axis=0
         )
         return inter.sum()
 
@@ -504,7 +629,9 @@ def _run_segment(
         u = jnp.clip(trunc_u.astype(F), 1e-7, 1.0 - 1e-7)
         z = jax.scipy.special.ndtri(plo + u * (phi - plo))
         z = jnp.clip(z, lo, hi)
-        new_theta = theta + 0.1 * z
+        # padded slots stay at theta=0 (masked update; renormalizing
+        # over all slots equals renormalizing over active ones)
+        new_theta = theta + 0.1 * jnp.where(mask, z, 0.0)
         new_theta = new_theta / new_theta.sum()
         prop_ll = log_like(new_nodes, new_pos, new_theta)
         accept = (
@@ -602,8 +729,8 @@ def run_tree_mcmc_checkpointed(
         iters = jnp.arange(start, end)
         noise = _gen_noise(key, iters, k=k, hops=hops)
         carry, recs = _run_segment(
-            *carry, iters, jnp.asarray(sd[start:end]), noise, *args,
-            walk_hops=hops,
+            *carry, jnp.ones(k, bool), iters,
+            jnp.asarray(sd[start:end]), noise, *args, walk_hops=hops,
         )
         rn, rp, rt, rl = (np.asarray(x) for x in recs)
         segments.append((rn, rp, rt, rl))

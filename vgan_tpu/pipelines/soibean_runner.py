@@ -217,17 +217,15 @@ def run_soibean_inference(
 
     results: Dict[int, List[ChainSummary]] = {}
     rng = np.random.default_rng(seed + 1)
+    # per-k chain inits up front: chain 0 starts at the signature
+    # nodes, later chains random (`src/soibean.cpp:808-811`)
+    per_k: List[tuple] = []
     for i in range(len(sig_nodes)):
         k = i + 1
         sub_paths = sig_paths[: i + 1]
         init_ll = sb.initial_log_like(
             stats, [name_of_col.index(p) for p in sub_paths if p in name_of_col]
         )
-        # chain 0 starts at the signature nodes, later chains random
-        # (`src/soibean.cpp:808-811`); all chains run in ONE device
-        # program, vmapped over the chain axis
-        from ..infer.tree_mcmc import run_tree_mcmc_chains
-
         srcs = np.zeros((chains, k), dtype=np.int32)
         if rand_start:
             # --randStart: every chain starts at random tree nodes
@@ -238,18 +236,42 @@ def run_soibean_inference(
         for chain in range(1, chains):
             srcs[chain] = rng.integers(0, tree.n_nodes, size=k)
         seeds = np.arange(chains) + seed * 1000 + k * 10
-        # multi-host chain parallelism (SURVEY §2.9): every rank draws
-        # the same srcs/seeds (shared seed), runs its round-robin chain
-        # subset, then summaries allgather for the cross-chain R-hat
-        from ..parallel import multihost
+        per_k.append((k, srcs, seeds, init_ll))
 
-        if multihost.active() and multihost.process_count() > 1:
-            nproc = multihost.process_count()
-            pid = multihost.process_id()
-            local_ids = [c for c in range(chains) if c % nproc == pid]
-        else:
-            nproc, pid = 1, 0
-            local_ids = list(range(chains))
+    # multi-host chain parallelism (SURVEY §2.9): every rank draws
+    # the same srcs/seeds (shared seed), runs its round-robin chain
+    # subset, then summaries allgather for the cross-chain R-hat
+    from ..parallel import multihost
+
+    if multihost.active() and multihost.process_count() > 1:
+        nproc = multihost.process_count()
+        pid = multihost.process_id()
+        local_ids = [c for c in range(chains) if c % nproc == pid]
+    else:
+        nproc, pid = 1, 0
+        local_ids = list(range(chains))
+
+    # the whole sweep (k = 1..K x chains) runs as ONE vmapped device
+    # batch (`run_tree_mcmc_ksweep`) unless checkpointing asks for the
+    # per-chain segmented runner: the sampler's wall-clock is per-STEP
+    # latency, so batching the sweep divides it by K
+    # (`src/soibean.cpp:745-840` runs each k sequentially)
+    ksweep_traces = None
+    if checkpoint_path is None and len(per_k) > 1:
+        from ..infer.tree_mcmc import run_tree_mcmc_ksweep
+
+        ksweep_traces = run_tree_mcmc_ksweep(
+            tree, path_map_t, counts25_t,
+            [srcs[local_ids] for _k, srcs, _s, _l in per_k],
+            freqs, con=con, max_iter=n_iter, burn=burnin,
+            num_paths=len(path_names),
+            init_logls=[ll for *_x, ll in per_k],
+            seeds_per_k=[s[local_ids] for _k, _srcs, s, _l in per_k],
+            mesh=chain_mesh if nproc == 1 else None,
+        )
+
+    for i, (k, srcs, seeds, init_ll) in enumerate(per_k):
+        from ..infer.tree_mcmc import run_tree_mcmc_chains
         if write_files and (nproc == 1 or multihost.is_host0()):
             # the shared per-k estimate files append per chain; start
             # each k from a clean slate so an interrupted run resumed
@@ -289,6 +311,8 @@ def run_soibean_inference(
                 theta=np.stack([t.theta for t in per_chain]),
                 loglike=np.stack([t.loglike for t in per_chain]),
             )
+        elif ksweep_traces is not None:
+            traces = ksweep_traces[i]
         else:
             traces = run_tree_mcmc_chains(
                 tree,
