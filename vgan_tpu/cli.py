@@ -12,7 +12,7 @@ plus framework-native additions:
   plot-tree-posterior / tree-from-output   output visualization
   bench         print the one-line benchmark JSON
 multi-host: --coordinator host:port --nproc N --procid I
-soibean resumable MCMC: --checkpoint PATH [--checkpoint-every N]
+soibean/euka resumable MCMC: --checkpoint PATH [--checkpoint-every N]
 
 Flags are parsed with the reference's manual single-dash style
 (`src/HaploCart.cpp:87-209`, `src/Euka.cpp:193-345`,
@@ -222,11 +222,19 @@ def cmd_euka(args: List[str]) -> int:
     out_group = ""
     k, w = 20, 10
     safari = False
+    checkpoint_path = None
+    checkpoint_every = 100000
     i = 0
     while i < len(args):
         a = args[i]
         if a == "--euka_dir":
             euka_dir = _take(args, i); i += 2
+        elif a == "--checkpoint":
+            # resumable abundance MCMC: snapshots to <path>.npz;
+            # rerunning the same command continues from the snapshot
+            checkpoint_path = _take(args, i); i += 2
+        elif a == "--checkpoint-every":
+            checkpoint_every = int(_take(args, i)); i += 2
         elif a == "--dbprefix":
             dbprefix = _take(args, i); i += 2
         elif a == "-fq1":
@@ -368,7 +376,11 @@ def cmd_euka(args: List[str]) -> int:
             res.detected.append(gi)
     with PROFILER.stage("mcmc"):
         mcmc = (
-            abundance_mcmc_from_result(res, n_iter=n_iter, burnin=burnin)
+            abundance_mcmc_from_result(
+                res, n_iter=n_iter, burnin=burnin,
+                checkpoint_path=checkpoint_path,
+                checkpoint_every=checkpoint_every,
+            )
             if run_mcmc_flag
             else None
         )

@@ -57,6 +57,47 @@ def _proposal_and_loglik(key, current, alpha, n_reads_f, const_ll):
     return prop, ll
 
 
+@jax.jit
+def _run_seg(current, cur_ll, ks, alpha, n_reads_f, const_ll):
+    """One scan segment over a slice of per-iteration keys; segmenting
+    over key slices is stream-identical to one long scan (keys are scan
+    xs), which is what makes the checkpointed runner bit-exact."""
+
+    def step(carry, key):
+        current, cur_ll = carry
+        kp, ku = jax.random.split(key)
+        prop, prop_ll = _proposal_and_loglik(
+            kp, current, alpha, n_reads_f, const_ll
+        )
+        u = jax.random.uniform(ku, dtype=F)
+        accept = u <= jnp.minimum(1.0, jnp.exp(prop_ll - cur_ll))  # NaN -> False
+        new = jnp.where(accept, prop, current)
+        new_ll = jnp.where(accept, prop_ll, cur_ll)
+        return (new, new_ll), prop  # record the PROPOSAL (reference quirk)
+
+    return jax.lax.scan(step, (current, cur_ll), ks)
+
+
+def _summarize(samples: np.ndarray) -> AbundanceResult:
+    # simplex-sum assertion, `src/MCMC.cpp:1164-1169`
+    from ..utils.guards import check_simplex
+
+    check_simplex(
+        samples, "abundance proposal",
+        atol=1e-6 if samples.dtype == np.float64 else 1e-4,
+    )
+    T = samples.shape[1]
+    est = np.empty(T)
+    ci85 = np.empty((T, 2))
+    ci95 = np.empty((T, 2))
+    for t in range(T):
+        s = np.sort(samples[:, t])
+        est[t] = s[len(s) // 2]
+        ci85[t] = [_quant(s, 0.15), _quant(s, 0.85)]
+        ci95[t] = [_quant(s, 0.05), _quant(s, 0.95)]
+    return AbundanceResult(est, ci85, ci95, samples)
+
+
 def run_mcmc(
     n_reads_per_taxon: np.ndarray,
     sum_log_like_per_taxon: np.ndarray,
@@ -71,51 +112,72 @@ def run_mcmc(
     sum of log(clade_like[k]) (-inf if any like is 0, reproducing the
     reference's log(0) behavior — proposals are then never accepted but
     still recorded)."""
-    T = len(init_vec)
     n_reads_f = jnp.asarray(n_reads_per_taxon, F)
     const_ll = jnp.asarray(np.sum(sum_log_like_per_taxon), F)
     init = jnp.asarray(init_vec, F)
-
-    def step(carry, key):
-        current, cur_ll = carry
-        kp, ku = jax.random.split(key)
-        prop, prop_ll = _proposal_and_loglik(kp, current, alpha, n_reads_f, const_ll)
-        u = jax.random.uniform(ku, dtype=F)
-        accept = u <= jnp.minimum(1.0, jnp.exp(prop_ll - cur_ll))  # NaN -> False
-        new = jnp.where(accept, prop, current)
-        new_ll = jnp.where(accept, prop_ll, cur_ll)
-        return (new, new_ll), prop  # record the PROPOSAL (reference quirk)
-
     keys = jax.random.split(jax.random.PRNGKey(seed), n_iter)
-
     # burn-in: proposals generated but never accepted (reference quirk);
     # state stays at init. We emulate by starting the chain at init with
     # -inf-ish likelihood from iteration burnin+1 onward.
-    @jax.jit
-    def run(keys):
-        (final, _), samples = jax.lax.scan(
-            step, (init, jnp.asarray(-9999999.0, F)), keys[burnin + 1 :]
-        )
-        return samples
-
-    samples = np.asarray(run(keys))
-    # simplex-sum assertion, `src/MCMC.cpp:1164-1169`
-    from ..utils.guards import check_simplex
-
-    check_simplex(
-        samples, "abundance proposal",
-        atol=1e-6 if samples.dtype == np.float64 else 1e-4,
+    _, samples = _run_seg(
+        init, jnp.asarray(-9999999.0, F), keys[burnin + 1 :],
+        jnp.asarray(alpha, F), n_reads_f, const_ll,
     )
+    return _summarize(np.asarray(samples))
 
-    est = np.empty(T)
-    ci85 = np.empty((T, 2))
-    ci95 = np.empty((T, 2))
-    for t in range(T):
-        s = np.sort(samples[:, t])
-        est[t] = s[len(s) // 2]
-        ci85[t] = [_quant(s, 0.15), _quant(s, 0.85)]
-        ci95[t] = [_quant(s, 0.05), _quant(s, 0.95)]
-    return AbundanceResult(est, ci85, ci95, samples)
+
+def run_mcmc_checkpointed(
+    n_reads_per_taxon: np.ndarray,
+    sum_log_like_per_taxon: np.ndarray,
+    init_vec: np.ndarray,
+    n_iter: int = 10000,
+    burnin: int = 100,
+    alpha: float = 0.1,
+    seed: int = 0,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 100000,
+) -> AbundanceResult:
+    """Segmented abundance sampler with exact resume (SURVEY §5; the
+    reference restarts from zero): chain state + recorded proposals
+    snapshot to `checkpoint_path` every `checkpoint_every` iterations;
+    rerunning with the same path continues from the last snapshot and
+    produces the identical trace (keys are scan xs, so segment slicing
+    is stream-invariant)."""
+    import os
+
+    n_reads_f = jnp.asarray(n_reads_per_taxon, F)
+    const_ll = jnp.asarray(np.sum(sum_log_like_per_taxon), F)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_iter)
+    total = max(n_iter - (burnin + 1), 0)
+
+    start = 0
+    segments: list = []
+    carry = (jnp.asarray(init_vec, F), jnp.asarray(-9999999.0, F))
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        z = np.load(checkpoint_path, allow_pickle=False)
+        start = int(z["next_iter"])
+        carry = (jnp.asarray(z["current"], F), jnp.asarray(z["ll"], F))
+        segments = [z["samples"]]
+    while start < total:
+        end = min(start + checkpoint_every, total)
+        carry, samples = _run_seg(
+            *carry, keys[burnin + 1 + start : burnin + 1 + end],
+            jnp.asarray(alpha, F), n_reads_f, const_ll,
+        )
+        segments.append(np.asarray(samples))
+        start = end
+        if checkpoint_path:
+            acc = np.concatenate(segments)
+            np.savez(
+                checkpoint_path, next_iter=start,
+                current=np.asarray(carry[0]), ll=np.asarray(carry[1]),
+                samples=acc,
+            )
+            segments = [acc]
+    return _summarize(
+        np.concatenate(segments) if segments
+        else np.zeros((0, len(init_vec)))
+    )
 
 
 def _quant(sorted_x: np.ndarray, q: float) -> float:

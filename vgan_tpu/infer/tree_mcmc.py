@@ -585,6 +585,9 @@ def _run_segment(
     }
 
     def log_like(nodes, pos, theta):
+        # per-source vmap keeps the path gather a cheap dynamic-slice;
+        # a fused [2k]-batched gather/einsum was measured SLOWER (it
+        # materializes an [R, 2k, 25] intermediate)
         par = tree.parent[nodes]
         par = jnp.where(par < 0, nodes, par)
         t = tree.dist[nodes]

@@ -15,12 +15,17 @@ from typing import Optional
 
 import numpy as np
 
-from ..infer.abundance_mcmc import AbundanceResult, run_mcmc
+from ..infer.abundance_mcmc import (
+    AbundanceResult,
+    run_mcmc,
+    run_mcmc_checkpointed,
+)
 from .euka import EukaResult, compute_init_vec
 
 
 def abundance_mcmc_from_result(
-    res: EukaResult, n_iter: int = 10000, burnin: int = 100, seed: int = 0
+    res: EukaResult, n_iter: int = 10000, burnin: int = 100, seed: int = 0,
+    checkpoint_path: Optional[str] = None, checkpoint_every: int = 100000,
 ) -> Optional[AbundanceResult]:
     if len(res.detected) < 2:
         return None
@@ -34,6 +39,12 @@ def abundance_mcmc_from_result(
         ]
     )
     init = compute_init_vec(res.counts, res.detected)
+    if checkpoint_path is not None:
+        return run_mcmc_checkpointed(
+            n_reads, slog, init, n_iter=n_iter, burnin=burnin, seed=seed,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every,
+        )
     return run_mcmc(n_reads, slog, init, n_iter=n_iter, burnin=burnin, seed=seed)
 
 
