@@ -126,35 +126,64 @@ def hky25(t, con, freqs: Dict[str, float]):
 # ---------------------------------------------------------------------------
 # tree walk (updatePosition)
 # ---------------------------------------------------------------------------
-def _pick_child_u(tree: TreeArrays, node, u):
-    """Child pick from a pregenerated uniform in [0,1)."""
-    nc = jnp.maximum(tree.n_children[node], 1)
-    j = jnp.minimum((u * nc).astype(jnp.int32), nc - 1)
-    return tree.children[node, j]
-
-
 WALK_HOPS = 32  # fixed bound (the C++ loop is unbounded; moves rarely
                 # need more than ~10 branch hops)
 POST_BURN_HOPS = 8  # post-burn-in proposal sd <= 1 -> short walks
 
 
-def update_position(tree: TreeArrays, node, pos, move, forward, walk_u):
+def pack_tree_table(tree: TreeArrays):
+    """[N, 2+C] float table (parent, n_children, children...): the walk
+    reads tree structure via one-hot matmuls on this table instead of
+    gathers — a gather is its own non-fuseable op on TPU, and the walk
+    needed ~10 of them per hop; a one-hot row lookup fuses into the
+    surrounding elementwise work (values are small exact ints in f32)."""
+    return jnp.concatenate(
+        [
+            tree.parent[:, None].astype(F),
+            tree.n_children[:, None].astype(F),
+            tree.children.astype(F),
+        ],
+        axis=1,
+    )
+
+
+def update_position(tt, node, pos, move, forward, walk_u):
     """One proposal move of `move` (>0) in direction `forward`.
 
-    walk_u: [hops, 4] pregenerated uniforms (child pick, parent-vs-
-    sibling pick, root-bounce child pick, sibling-child pick per hop).
-    The hop loop is a PYTHON loop unrolled into the enclosing scan body
-    (hops is static): a nested fori_loop/while op inside the sampler
-    scan costs per-hop control overhead on the serial critical path,
-    and pregenerated uniforms keep threefry off that path entirely
-    (r5; see SAMPLER ROOFLINE below). Masked no-ops make any walk
-    shorter than `hops` identical to the reference's unbounded loop."""
+    tt: pack_tree_table output. walk_u: [hops, 4] pregenerated uniforms
+    (child pick, parent-vs-sibling pick, root-bounce child pick,
+    sibling-child pick per hop). The hop loop is a PYTHON loop unrolled
+    into the enclosing scan body (hops is static): a nested
+    fori_loop/while op inside the sampler scan costs per-hop control
+    overhead on the serial critical path, and pregenerated uniforms
+    keep threefry off that path entirely (r5; see SAMPLER ROOFLINE
+    below). Masked no-ops make any walk shorter than `hops` identical
+    to the reference's unbounded loop."""
+    N = tt.shape[0]
+    Cc = tt.shape[1] - 2
+    iota_n = jnp.arange(N)
+    iota_c = jnp.arange(Cc)
+
+    def row_of(n):
+        # select+reduce, NOT a matmul: TPU f32 matmuls default to bf16
+        # passes, which would round node ids > 256 on large trees
+        return jnp.sum(jnp.where((iota_n == n)[:, None], tt, 0.0), axis=0)
+
+    def pick(kids, nc, u):
+        ncm = jnp.maximum(nc, 1.0)
+        j = jnp.minimum(jnp.floor(u.astype(F) * ncm), ncm - 1.0)
+        return jnp.sum(jnp.where(iota_c == j, kids, 0.0))
+
+    # node walks as an exact small integer in F (avoids int<->float
+    # casts between hops)
+    node = node.astype(F)
     d, fwd = move, forward
     for h in range(walk_u.shape[0]):
         u = walk_u[h]
         active = d > 0.0
-        is_leaf = tree.n_children[node] == 0
-        par = tree.parent[node]
+        row = row_of(node)
+        par, nc, kids = row[0], row[1], row[2:]
+        is_leaf = nc == 0
         is_root = par < 0
 
         # ---------------- forward ----------------
@@ -165,7 +194,7 @@ def update_position(tree: TreeArrays, node, pos, move, forward, walk_u):
         f2_pos, f2_d, f2_node, f2_fwd = pos, d, node, False
         # cross into a random child
         rem = jnp.maximum(d - (1.0 - pos), 0.0)
-        child = _pick_child_u(tree, node, u[0])
+        child = pick(kids, nc, u[0])
         f3_pos = jnp.where(rem > 1.0, 1.0, rem)
         f3_d = jnp.where(rem > 1.0, rem - 1.0, 0.0)
         f3_node, f3_fwd = child, fwd
@@ -180,18 +209,20 @@ def update_position(tree: TreeArrays, node, pos, move, forward, walk_u):
         b1_pos, b1_d, b1_node, b1_fwd = pos - d, 0.0, node, fwd
 
         # root bounce: flip direction, hop to a random child, keep d/pos
-        root_child = _pick_child_u(tree, node, u[2])
+        root_child = pick(kids, nc, u[2])
         b2_pos, b2_d, b2_node, b2_fwd = pos, d, root_child, True
 
         # choose parent or a sibling: possible = [parent] (+ siblings if
         # this node is internal, `src/MCMC.cpp:320-330`)
-        nsib = jnp.where(is_leaf, 0, jnp.maximum(tree.n_children[par], 1) - 1)
-        n_possible = 1 + nsib
-        pick = jnp.minimum(
-            (u[1] * n_possible).astype(jnp.int32),
-            jnp.maximum(n_possible, 1) - 1,
+        row_par = row_of(jnp.maximum(par, 0.0))
+        nc_par, kids_par = row_par[1], row_par[2:]
+        nsib = jnp.where(is_leaf, 0.0, jnp.maximum(nc_par, 1.0) - 1.0)
+        n_possible = 1.0 + nsib
+        pickv = jnp.minimum(
+            jnp.floor(u[1].astype(F) * n_possible),
+            jnp.maximum(n_possible, 1.0) - 1.0,
         )
-        chose_parent = pick == 0
+        chose_parent = pickv == 0
 
         # parent move
         remb = jnp.maximum(d - pos, 0.0)
@@ -201,17 +232,18 @@ def update_position(tree: TreeArrays, node, pos, move, forward, walk_u):
         bp_fwd = fwd  # stays backward
 
         # sibling move: position of node among parent's children
-        sib_j = pick - 1
-        kids = tree.children[par]
-        self_pos = jnp.argmax(kids == node)
+        sib_j = pickv - 1.0
+        self_pos = jnp.argmax(kids_par == node)
         sib_idx = sib_j + (sib_j >= self_pos)
-        sibling = kids[jnp.clip(sib_idx, 0, kids.shape[0] - 1)]
+        sib_idx = jnp.clip(sib_idx, 0.0, Cc - 1.0)
+        sibling = jnp.sum(jnp.where(iota_c == sib_idx, kids_par, 0.0))
         rems = d - pos  # remaining after reaching the junction
         s_stay = rems < 1.0
-        sib_leaf = tree.n_children[sibling] == 0
+        row_sib = row_of(sibling)
+        sib_leaf = row_sib[1] == 0
         # cross into a random child of the sibling
         rems2 = jnp.maximum(d - 1.0, 0.0)  # d - (1 - 0) per `src/MCMC.cpp:420`
-        sib_child = _pick_child_u(tree, sibling, u[3])
+        sib_child = pick(row_sib[2:], row_sib[1], u[3])
         bs_pos = jnp.where(
             s_stay,
             jnp.maximum(rems, 0.0),
@@ -247,9 +279,9 @@ def update_position(tree: TreeArrays, node, pos, move, forward, walk_u):
         # masked no-op once the move is exhausted
         pos = jnp.where(active, pos2, pos)
         d = jnp.where(active, d2, d)
-        node = jnp.where(active, node2, node).astype(jnp.int32)
+        node = jnp.where(active, node2, node)
         fwd = jnp.where(active, fwd2, fwd)
-    return node, pos
+    return node.astype(jnp.int32), pos
 
 
 # ---------------------------------------------------------------------------
@@ -300,7 +332,8 @@ def run_tree_mcmc(
 # the per-step latency of the scan body, not by FLOPs (the likelihood
 # is ~4*R*25 MACs ~= 20-200 kFLOP — microseconds of VPU time). The
 # levers are therefore (a) keeping everything off the serial path that
-# can be precomputed, and (b) minimizing per-step loop overhead:
+# can be precomputed, and (b) minimizing the number of non-fuseable ops
+# in the body:
 #   * ALL per-iteration randomness (walk deltas + per-hop child picks,
 #     truncated-normal uniforms, accept uniforms) is pregenerated
 #     OUTSIDE the scan in one embarrassingly-parallel vmapped threefry
@@ -310,14 +343,25 @@ def run_tree_mcmc(
 #   * the tree-walk hop loop is a PYTHON loop unrolled into the body
 #     (was: nested fori_loop -> a nested XLA while op whose per-hop
 #     control overhead sits on the critical path).
-#   * the scan itself runs with unroll>1 post-burn-in, amortizing the
-#     while-op bookkeeping over several MH steps.
-#   * segments are NOISE_SEG iterations so the pregenerated noise stays
-#     tens of MB; fold_in(key, absolute_iter) keying makes the stream
-#     segmentation-invariant (checkpoint/resume bit-parity).
-# Counter-keyed noise means a fixed ~200 f32 of HBM traffic per step —
-# at 500k iters that is ~100 MB/chain/run, generated at device
-# memory-bandwidth speed off the critical path.
+#   * tree-structure lookups in the walk are one-hot SELECT+REDUCE rows
+#     of a packed [N, 2+C] table (pack_tree_table), not gathers and not
+#     matmuls: a gather is its own non-fuseable TPU op (~10/hop before),
+#     and an f32 matmul defaults to bf16 passes (would round node ids
+#     > 256) while also compiling 4x slower.
+#   * the scan runs with unroll=4 post-burn-in, amortizing while-op
+#     bookkeeping; segments are NOISE_SEG iterations so pregenerated
+#     noise stays tens of MB; fold_in(key, absolute_iter) keying makes
+#     the stream segmentation-invariant (checkpoint/resume bit-parity).
+# Measured on the v5e chip (Ursidae tree, R=200, k=2, C=4 vmapped,
+# 100k iters): r4 sampler (in-body threefry + nested fori walk)
+# ~20-29k chain-iters/s (~139us/step); + pregenerated noise/unrolled
+# hops 29k; + one-hot walk 67k; + select-reduce (this form) ~108k
+# chain-iters/s (~37us/step), compile 51s. The remaining 37us is ~10
+# fused-kernel launches on the serial chain (walk hop chain + 2
+# likelihood slices + reductions + trace writes) — further gains need
+# fewer sequential fusions per MH step, not more FLOPs. Counter-keyed
+# noise costs ~200 f32 of HBM traffic per step, generated at memory-
+# bandwidth speed off the critical path.
 # ---------------------------------------------------------------------------
 NOISE_SEG = 32768  # iterations per jitted segment (bounds noise HBM)
 
@@ -575,6 +619,7 @@ def _run_segment(
     tree = TreeArrays(
         tree_parent, jnp.asarray(tree_dist, F), tree_children, tree_nchildren
     )
+    tt = pack_tree_table(tree)
     sd_seg = jnp.asarray(sd_seg, F)
     con = jnp.asarray(con, F)
     path_map = jnp.asarray(path_map, F)
@@ -584,13 +629,21 @@ def _run_segment(
         n: freq_arr[i] for i, n in enumerate(["A", "C", "G", "T", "R", "Y", "M"])
     }
 
+    # [N, 2] (parent, dist) side table: one-hot matmul instead of two
+    # per-step gathers (same rationale as pack_tree_table)
+    pd = jnp.stack([tree.parent.astype(F), tree.dist], axis=1)
+
     def log_like(nodes, pos, theta):
         # per-source vmap keeps the path gather a cheap dynamic-slice;
         # a fused [2k]-batched gather/einsum was measured SLOWER (it
         # materializes an [R, 2k, 25] intermediate)
-        par = tree.parent[nodes]
-        par = jnp.where(par < 0, nodes, par)
-        t = tree.dist[nodes]
+        sel = jnp.arange(pd.shape[0])[None, :] == nodes[:, None]  # [k, N]
+        row = jnp.sum(
+            jnp.where(sel[:, :, None], pd[None, :, :], 0.0), axis=1
+        )  # [k, 2] — select+reduce, not matmul (bf16 exactness)
+        par = row[:, 0]
+        par = jnp.where(par < 0, nodes.astype(F), par).astype(jnp.int32)
+        t = row[:, 1]
         t = jnp.where(t == 0.0, 1e-5, t)
         t1 = pos * t
         t2 = t - t1
@@ -616,7 +669,7 @@ def _run_segment(
         deltas = delta_n.astype(F) * sd_it
 
         def walk_one(n, p, d, wu):
-            return update_position(tree, n, p, jnp.abs(d), d >= 0, wu)
+            return update_position(tt, n, p, jnp.abs(d), d >= 0, wu)
 
         new_nodes, new_pos = jax.vmap(walk_one)(nodes, pos, deltas, walk_u)
         new_nodes = jnp.where(it == 0, nodes, new_nodes)
