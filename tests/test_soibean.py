@@ -175,6 +175,44 @@ def test_tree_mcmc_recovers_single_source(toy_graph, toy_reads):
         assert np.isfinite(trace.loglike).all()
 
 
+def test_ess_fft_matches_direct_loop():
+    """The FFT ESS (r5) replays `src/miscfunc.h:40-66`'s paired-lag
+    initial-positive-sequence semantics exactly; differential vs a
+    literal transcription of the C++ loop on white-noise, AR(1) and
+    sticky chains."""
+
+    def ess_direct(v):
+        v = np.asarray(v, dtype=np.float64)
+        n = len(v)
+        if np.var(v) == 0.0:
+            return float("nan")
+        max_lag = n // 2
+        rho_even = 1.0
+        rho_odd = diagnostics.autocorrelation(v, 1)
+        rho_tot = rho_even + rho_odd
+        t = 1
+        while t < max_lag - 2 and rho_even + rho_odd > 0:
+            rho_even = diagnostics.autocorrelation(v, t + 1)
+            rho_odd = diagnostics.autocorrelation(v, t + 2)
+            rho_tot += 2.0 * (rho_even + rho_odd)
+            t += 2
+        if rho_even + rho_odd < 0:
+            rho_tot -= rho_even + rho_odd
+        return n / (1.0 + rho_tot)
+
+    rng = np.random.default_rng(3)
+    white = rng.normal(size=4001)
+    ar1 = np.zeros(3000)
+    for i in range(1, 3000):
+        ar1[i] = 0.9 * ar1[i - 1] + rng.normal()
+    sticky = np.repeat(rng.normal(size=40), 75)  # accepts every ~75 it
+    small = rng.normal(size=9)
+    for v in (white, ar1, sticky, small):
+        a = ess_direct(v)
+        b = diagnostics.effective_sample_size(v)
+        assert b == pytest.approx(a, rel=1e-6), (a, b, len(v))
+
+
 def test_diagnostics():
     rng = np.random.default_rng(0)
     v = rng.normal(size=1000)

@@ -384,6 +384,36 @@ def _gen_noise(key, iters, k: int, hops: int):
     return jax.vmap(one)(iters)
 
 
+@partial(jax.jit, static_argnames=("k", "hops"))
+def _gen_noise_batch(keys, iters, k: int, hops: int):
+    """Per-chain noise for a segment. Module-level jit: re-invoking
+    jax.vmap(lambda ...) per segment re-TRACES on the host each time
+    (~100ms/segment over the tunnel); a cached jit makes every segment
+    after the first a cache hit."""
+    return jax.vmap(lambda kk: _gen_noise(kk, iters, k=k, hops=hops))(keys)
+
+
+@partial(jax.jit, static_argnames=("walk_hops",))
+def _run_segment_batch(
+    nodes, pos, theta, ll, mask,  # batched [B, ...]
+    iters, sd_seg, noise,  # noise batched [B, ...]
+    path_map, counts25,
+    tree_parent, tree_dist, tree_children, tree_nchildren,
+    con, freq_arr,
+    walk_hops: int = WALK_HOPS,
+):
+    """vmap of _run_segment over the chain/row axis, as ONE cached jit
+    (same host-retracing rationale as _gen_noise_batch)."""
+    return jax.vmap(
+        lambda nn, pp, tt, l2, mm, nz: _run_segment(
+            nn, pp, tt, l2, mm, iters, sd_seg, nz,
+            path_map, counts25,
+            tree_parent, tree_dist, tree_children, tree_nchildren,
+            con, freq_arr, walk_hops=walk_hops,
+        )
+    )(nodes, pos, theta, ll, mask, noise)
+
+
 def _init_theta_for_key(key, k: int):
     """Uniform random normalized start (`MCMC.h generateRandomNumbers`)."""
     return jax.random.dirichlet(
@@ -449,29 +479,27 @@ def run_tree_mcmc_chains(
     total = max_iter + 1
     split = min(burn + 1, total)
     recs_all = []
+    ones_mask = jnp.ones((C, k), bool)
     for (p0, p1, hops) in ((0, split, WALK_HOPS),
                            (split, total, POST_BURN_HOPS)):
         i0 = p0
         while i0 < p1:
             i1 = min(i0 + NOISE_SEG, p1)
             iters = jnp.arange(i0, i1)
-            noise = jax.vmap(
-                lambda kk: _gen_noise(kk, iters, k=k, hops=hops)
-            )(keys)
-            seg = jax.vmap(
-                lambda nn, pp, tt, ll, nz: _run_segment(
-                    nn, pp, tt, ll, jnp.ones(k, bool),
-                    iters, jnp.asarray(sd[i0:i1]), nz,
-                    *args, walk_hops=hops,
-                )
+            noise = _gen_noise_batch(keys, iters, k=k, hops=hops)
+            carry, recs = _run_segment_batch(
+                *carry, ones_mask, iters, jnp.asarray(sd[i0:i1]), noise,
+                *args, walk_hops=hops,
             )
-            carry, recs = seg(*carry, noise)
             recs_all.append(recs)
             i0 = i1
-    rn = np.concatenate([np.asarray(r[0]) for r in recs_all], axis=1)
-    rp = np.concatenate([np.asarray(r[1]) for r in recs_all], axis=1)
-    rt = np.concatenate([np.asarray(r[2]) for r in recs_all], axis=1)
-    rl = np.concatenate([np.asarray(r[3]) for r in recs_all], axis=1)
+    # concatenate ON DEVICE and download once per field: the tunneled
+    # backend pays ~0.3s latency per transfer, so 4 transfers beat
+    # 4 x n_segments (r5)
+    rn = np.asarray(jnp.concatenate([r[0] for r in recs_all], axis=1))
+    rp = np.asarray(jnp.concatenate([r[1] for r in recs_all], axis=1))
+    rt = np.asarray(jnp.concatenate([r[2] for r in recs_all], axis=1))
+    rl = np.asarray(jnp.concatenate([r[3] for r in recs_all], axis=1))
     return MCMCTrace(
         node=rn[:, burn + 1 :], pos=rp[:, burn + 1 :],
         theta=rt[:, burn + 1 :], loglike=rl[:, burn + 1 :],
@@ -570,23 +598,17 @@ def run_tree_mcmc_ksweep(
         while i0 < p1:
             i1 = min(i0 + NOISE_SEG, p1)
             iters = jnp.arange(i0, i1)
-            noise = jax.vmap(
-                lambda kk: _gen_noise(kk, iters, k=Kmax, hops=hops)
-            )(keys)
-            seg = jax.vmap(
-                lambda nn, pp, tt, ll, mm, nz: _run_segment(
-                    nn, pp, tt, ll, mm,
-                    iters, jnp.asarray(sd[i0:i1]), nz,
-                    *args, walk_hops=hops,
-                )
+            noise = _gen_noise_batch(keys, iters, k=Kmax, hops=hops)
+            carry, recs = _run_segment_batch(
+                *carry, mask_j, iters, jnp.asarray(sd[i0:i1]), noise,
+                *args, walk_hops=hops,
             )
-            carry, recs = seg(*carry, mask_j, noise)
             recs_all.append(recs)
             i0 = i1
-    rn = np.concatenate([np.asarray(r[0]) for r in recs_all], axis=1)
-    rp = np.concatenate([np.asarray(r[1]) for r in recs_all], axis=1)
-    rt = np.concatenate([np.asarray(r[2]) for r in recs_all], axis=1)
-    rl = np.concatenate([np.asarray(r[3]) for r in recs_all], axis=1)
+    rn = np.asarray(jnp.concatenate([r[0] for r in recs_all], axis=1))
+    rp = np.asarray(jnp.concatenate([r[1] for r in recs_all], axis=1))
+    rt = np.asarray(jnp.concatenate([r[2] for r in recs_all], axis=1))
+    rl = np.asarray(jnp.concatenate([r[3] for r in recs_all], axis=1))
     out = []
     for i, s in enumerate(sources_per_k):
         ki = s.shape[1]
@@ -622,8 +644,11 @@ def _run_segment(
     tt = pack_tree_table(tree)
     sd_seg = jnp.asarray(sd_seg, F)
     con = jnp.asarray(con, F)
-    path_map = jnp.asarray(path_map, F)
-    counts25 = jnp.asarray(counts25, F)
+    # path-major layout: the per-step dynamic-slice [R, 25] at path c
+    # is then one contiguous block instead of R strided rows (measured
+    # 84us -> 47us per step at R=2000)
+    path_map_t = jnp.asarray(path_map, F).T  # [P, R]
+    counts25_t = jnp.transpose(jnp.asarray(counts25, F), (1, 0, 2))  # [P, R, 25]
     freq_arr = jnp.asarray(freq_arr, F)
     freqs = {
         n: freq_arr[i] for i, n in enumerate(["A", "C", "G", "T", "R", "Y", "M"])
@@ -651,8 +676,8 @@ def _run_segment(
         def source_ll(c, p, t1_y, t2_y, pos_y):
             h_c = hky25(t2_y, con, freqs)
             h_p = hky25(t1_y, con, freqs)
-            llc = path_map[:, c] + counts25[:, c, :] @ h_c
-            llp = path_map[:, p] + counts25[:, p, :] @ h_p
+            llc = path_map_t[c] + counts25_t[c] @ h_c
+            llp = path_map_t[p] + counts25_t[p] @ h_p
             return jnp.logaddexp(jnp.log(pos_y) + llc, jnp.log1p(-pos_y) + llp)
 
         per_src = jax.vmap(source_ll)(nodes, par, t1, t2, pos)
@@ -694,7 +719,12 @@ def _run_segment(
             acc_u.astype(F)
             <= jnp.minimum(1.0, jnp.exp(prop_ll - cur_ll))
         ) | (it == 0)
-        rec = (nodes, pos, theta, cur_ll)
+        # ONE packed trace row (node ids are exact small ints in F):
+        # four separate ys would cost four dynamic-update-slices per
+        # step on the serial path
+        rec = jnp.concatenate(
+            [nodes.astype(F), pos, theta, cur_ll[None]]
+        )
         nodes = jnp.where(accept, new_nodes, nodes)
         pos = jnp.where(accept, new_pos, pos)
         theta = jnp.where(accept, new_theta, theta)
@@ -709,7 +739,13 @@ def _run_segment(
     carry, recs = jax.lax.scan(
         step, carry0, (iters, sd_seg) + tuple(noise), unroll=unroll
     )
-    return carry, recs
+    k = carry_nodes.shape[0]
+    return carry, (
+        recs[:, :k].astype(jnp.int32),
+        recs[:, k : 2 * k],
+        recs[:, 2 * k : 3 * k],
+        recs[:, 3 * k],
+    )
 
 
 def run_tree_mcmc_checkpointed(
