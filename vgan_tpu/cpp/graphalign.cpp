@@ -38,15 +38,36 @@ int64_t graph_align(
 ) {
   if (n <= 0 || ncols <= 0) return -1;
   const int64_t stride = n + 1;
-  std::vector<int32_t> H((int64_t)(ncols + 1) * stride, 0);
-  std::vector<int32_t> E((int64_t)(ncols + 1) * stride, NEG);
+  // thread_local slabs: the finalize calls this per error-bearing read
+  // (hundreds per chunk); per-call vector alloc + full-matrix init was
+  // ~half the DP cost. Only the base column (index 0) needs init —
+  // every other column is fully written before any successor reads it
+  // (predecessors have smaller indices).
+  thread_local std::vector<int32_t> H, E, Hp, Ep;
+  const int64_t slab = (int64_t)(ncols + 1) * stride;
+  if ((int64_t)H.size() < slab) {
+    H.resize(slab);
+    E.resize(slab);
+  }
+  if ((int64_t)Hp.size() < stride) {
+    Hp.resize(stride);
+    Ep.resize(stride);
+  }
+  std::fill(H.begin(), H.begin() + stride, 0);
+  std::fill(E.begin(), E.begin() + stride, NEG);
 
-  std::vector<int32_t> Hp(stride), Ep(stride);
   for (int32_t c = 0; c < ncols; ++c) {
     int64_t np_ = pred_off[c + 1] - pred_off[c];
+    const int32_t* HpP;
+    const int32_t* EpP;
     if (np_ == 0) {
-      std::memcpy(Hp.data(), H.data(), stride * sizeof(int32_t));
-      std::memcpy(Ep.data(), E.data(), stride * sizeof(int32_t));
+      HpP = H.data();
+      EpP = E.data();
+    } else if (np_ == 1) {
+      // single predecessor (the common case): no copy, alias the row
+      const int32_t p0 = pred_idx[pred_off[c]] + 1;
+      HpP = H.data() + (int64_t)p0 * stride;
+      EpP = E.data() + (int64_t)p0 * stride;
     } else {
       const int32_t p0 = pred_idx[pred_off[c]] + 1;
       std::memcpy(Hp.data(), H.data() + (int64_t)p0 * stride,
@@ -62,26 +83,38 @@ int64_t graph_align(
           Ep[i] = std::max(Ep[i], erow[i]);
         }
       }
+      HpP = Hp.data();
+      EpP = Ep.data();
     }
     int32_t* Hc = H.data() + (int64_t)(c + 1) * stride;
     int32_t* Ec = E.data() + (int64_t)(c + 1) * stride;
     const uint8_t rc = ref[c];
-    // E and h_no_f
-    for (int64_t i = 0; i <= n; ++i) {
-      Ec[i] = std::max(Hp[i] - GAP_OPEN, Ep[i] - GAP_EXT);
-    }
+    // one fused pass: E from the pred column, H diag, exact F via the
+    // running max of (post-F H[i'] + i'*ext) — identical values to the
+    // former three passes (F reads the already-F-updated prefix)
+    Ec[0] = std::max(HpP[0] - GAP_OPEN, EpP[0] - GAP_EXT);
     Hc[0] = std::max(0, Ec[0]);
-    for (int64_t i = 1; i <= n; ++i) {
-      int32_t s = (q[i - 1] == rc && q[i - 1] < 4) ? MATCH : MISMATCH;
-      int32_t d = Hp[i - 1] + s + (i == 1 ? BONUS : 0);
-      Hc[i] = std::max({0, d, Ec[i]});
+    int64_t run = (int64_t)Hc[0];
+    {
+      // i == 1 (start bonus)
+      int32_t s = (q[0] == rc && q[0] < 4) ? MATCH : MISMATCH;
+      Ec[1] = std::max(HpP[1] - GAP_OPEN, EpP[1] - GAP_EXT);
+      int32_t h = std::max({0, HpP[0] + s + BONUS, Ec[1]});
+      int64_t f = run - GAP_OPEN;
+      if (f > h) h = (int32_t)f;
+      Hc[1] = h;
+      int64_t cand = (int64_t)h + GAP_EXT;
+      if (cand > run) run = cand;
     }
-    // exact F via running max of (H + i*ext)
-    int64_t run = (int64_t)Hc[0];  // H[i'] + i'*ext running max
-    for (int64_t i = 1; i <= n; ++i) {
+    for (int64_t i = 2; i <= n; ++i) {
+      int32_t s = (q[i - 1] == rc && q[i - 1] < 4) ? MATCH : MISMATCH;
+      int32_t e = std::max(HpP[i] - GAP_OPEN, EpP[i] - GAP_EXT);
+      Ec[i] = e;
+      int32_t h = std::max({0, HpP[i - 1] + s, e});
       int64_t f = run - GAP_OPEN - (i - 1) * GAP_EXT;
-      if (f > Hc[i]) Hc[i] = (int32_t)f;
-      int64_t cand = (int64_t)Hc[i] + i * GAP_EXT;
+      if (f > h) h = (int32_t)f;
+      Hc[i] = h;
+      int64_t cand = (int64_t)h + i * GAP_EXT;
       if (cand > run) run = cand;
     }
   }
