@@ -169,6 +169,36 @@ def test_soibean_counts25_at_ursidae_scale():
           f" rss={_rss_gb():.1f}GB")
 
 
+def test_keelime_scaling_curve():
+    """Assembly scaling curve at FIXED ~75x coverage over gappy
+    multi-contig worlds, 20k/50k/100k reads (VERDICT r4 #4): exposes
+    any superlinear term in the overlap/merge pipeline. The bound
+    rps(100k) >= 0.3 * rps(20k) fails on an O(n^2) term (which would
+    land at ~0.2x) while allowing the measured mild sublinearity."""
+    import time
+
+    from _keelime_scale_world import build_scale_world
+    from vgan_tpu.pipelines import keelime as kl
+
+    rps = {}
+    for n in (20_000, 50_000, 100_000):
+        graph, frags, G = build_scale_world(n)
+        t0 = time.perf_counter()
+        contigs = kl.assemble(graph, frags)
+        cons, *_ = kl.consensus(graph, contigs)
+        dt = time.perf_counter() - t0
+        rps[n] = n / dt
+        non_n = sum(1 for c in cons if c != "N")
+        print(f"[scale] keelime n={n} G={G}: {dt:.1f}s = {rps[n]:.0f} "
+              f"reads/s, {len(contigs)} contigs, cons {len(cons)}bp "
+              f"(non-N {non_n}), rss={_rss_gb():.1f}GB")
+        # gappy world: the three coverage gaps split the assembly
+        assert len(contigs) >= 3
+        assert non_n >= G * 0.9
+    assert rps[100_000] >= 0.3 * rps[20_000], rps
+    assert rps[100_000] >= 300, rps
+
+
 def test_keelime_at_stress_scale():
     """keelime production path (map_reads_table -> analyse_gam_table ->
     assemble -> consensus) at >=20k reads over a multi-kb genome,

@@ -826,27 +826,41 @@ def find_match(contig: str, node_seq: str, from_start: bool) -> int:
 # ------------------------------------------------------- overlap graph
 def initial_overlap(
     frags: List[Frag], depths: Dict[int, int]
-) -> Tuple[Dict[int, List[int]], int]:
-    """Density map (initial_overlap, src/assembly.cpp:617-665)."""
+) -> Tuple[Tuple[np.ndarray, np.ndarray], int]:
+    """Candidate pairs (initial_overlap, src/assembly.cpp:617-665):
+    frag i pairs with every frag whose first-node depth lies in
+    [nd_i, nd_i + 10]. Returned as flat (pi, pj) arrays via
+    sort + searchsorted — the former per-frag boolean mask was O(n^2)
+    in the read count (minutes at 100k reads) for the identical pair
+    SET, and pair order does not affect the overlap DAG (edge inserts
+    are idempotent and neighbor traversal sorts by score)."""
     n = len(frags)
     nd = np.array(
         [depths.get(f.node_ids[0], -1) if f.node_ids else -1 for f in frags],
         dtype=np.int64,
     )
-    density: Dict[int, List[int]] = {}
-    inc = 0
-    known = nd != -1
-    for i in range(n):
-        if nd[i] == -1:
-            continue
-        mask = known & (nd >= nd[i]) & (nd <= nd[i] + 10)
-        mask[i] = False
-        pot = np.flatnonzero(mask)
-        inc += len(pot)
-        density[i] = pot.tolist()
+    known_idx = np.flatnonzero(nd != -1)
+    if len(known_idx) == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64)), 1
+    order = known_idx[np.argsort(nd[known_idx], kind="stable")]
+    snd = nd[order]
+    lo = np.searchsorted(snd, nd[known_idx], side="left")
+    hi = np.searchsorted(snd, nd[known_idx] + 10, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    # flat slice gather: pj = order[lo_i + k] for k in 0..counts_i
+    starts = np.zeros(len(known_idx), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    flat = np.arange(total, dtype=np.int64) \
+        - np.repeat(starts, counts) + np.repeat(lo, counts)
+    pi = np.repeat(known_idx, counts)
+    pj = order[flat]
+    keep = pi != pj  # drop self-pairs
+    pi, pj = pi[keep], pj[keep]
+    inc = len(pi)
     if inc == 0:
         inc = 1
-    return density, inc // max(n, 1)
+    return (pi, pj), inc // max(n, 1)
 
 
 class GraphAss:
@@ -870,13 +884,14 @@ def find_overlaps(
     frags: List[Frag],
     min_olen: int,
     min_score: float,
-    density: Dict[int, List[int]],
+    pairs: Tuple[np.ndarray, np.ndarray],
     specified_deam: bool,
     len_min: float,
 ) -> Tuple[GraphAss, Dict[Tuple[int, int], Tuple[int, float]]]:
     """find_overlaps (src/assembly.cpp:669-701): edges require both the
     score gate and end-node containment in the partner's node list.
-    Large candidate sets score all pairs in one device batch
+    `pairs` is initial_overlap's flat (pi, pj) candidate arrays. Large
+    candidate sets score all pairs in one device batch
     (keelime_device.overlap_scores_batch, SURVEY §7.8) with identical
     results."""
     n_frags = len(frags)
@@ -901,14 +916,7 @@ def find_overlaps(
         content_id[i] = cid
     C = len(contents)
 
-    # unique unordered frag pairs from the density map, as arrays
-    ii: List[int] = []
-    jj: List[int] = []
-    for i, cands in density.items():
-        ii.extend([i] * len(cands))
-        jj.extend(cands)
-    pi = np.asarray(ii, dtype=np.int64)
-    pj = np.asarray(jj, dtype=np.int64)
+    pi, pj = pairs
     # distinct (content_i, content_j) in both orientations
     ci = content_id[pi]
     cj = content_id[pj]
@@ -1256,7 +1264,13 @@ def merge_all_paths(
 
 
 def remove_subset_contigs(contigs: List[Contig]) -> List[Contig]:
-    """removeSubsetContigs (src/assembly.cpp:1569-1625)."""
+    """removeSubsetContigs (src/assembly.cpp:1569-1625). Per-contig
+    node sets and byte encodings are cached once (contigs are immutable
+    here), and the j-in-i check short-circuits when i-in-j already
+    removed i — the removal set is unchanged (j_in_i is unused on that
+    branch in the reference loop too)."""
+    sets = [frozenset(c.node_ids) for c in contigs]
+    encs = [_enc(c.seq) for c in contigs]
     to_remove = set()
     for i in range(len(contigs)):
         if i in to_remove:
@@ -1264,14 +1278,14 @@ def remove_subset_contigs(contigs: List[Contig]) -> List[Contig]:
         for j in range(len(contigs)):
             if i == j or j in to_remove:
                 continue
-            i_in_j = is_subset(contigs[i].seq, contigs[i].node_ids,
-                               contigs[j].seq, contigs[j].node_ids, 2)
-            j_in_i = is_subset(contigs[j].seq, contigs[j].node_ids,
-                               contigs[i].seq, contigs[i].node_ids, 2)
-            if i_in_j:
+            if is_subset(contigs[i].seq, contigs[i].node_ids,
+                         contigs[j].seq, sets[j], 2,
+                         b_enc=encs[j], a_enc=encs[i]):
                 to_remove.add(i)
                 break
-            if j_in_i:
+            if is_subset(contigs[j].seq, contigs[j].node_ids,
+                         contigs[i].seq, sets[i], 2,
+                         b_enc=encs[i], a_enc=encs[j]):
                 to_remove.add(j)
     return [c for i, c in enumerate(contigs) if i not in to_remove]
 
@@ -1487,19 +1501,31 @@ def merge_overlapping_contigs(
 ) -> List[Contig]:
     """mergeOverlappingContigs (src/assembly.cpp:3069-3345)."""
     contigs = remove_subset_contigs(contigs)
+    # exact prefilter: try_merge_contigs is a no-merge for pairs with
+    # no shared node id (its first check), so only pairs sharing >=1
+    # node go through the full decision — the all-pairs loop was the
+    # fixpoint's O(contigs^2 x contig-length) term
+    node2c: Dict[int, List[int]] = {}
+    for i, c in enumerate(contigs):
+        for nid in set(c.node_ids):
+            node2c.setdefault(nid, []).append(i)
+    cand = set()
+    for lst in node2c.values():
+        for a in range(len(lst)):
+            for b in range(a + 1, len(lst)):
+                cand.add((lst[a], lst[b]))
     potential: List[Tuple[int, int, MergeDecision]] = []
-    for i in range(len(contigs)):
-        for j in range(i + 1, len(contigs)):
-            d = try_merge_contigs(
-                contigs[i], contigs[j], min_olen, node_seq_map, len_min
-            )
-            if not d.can:
-                continue
-            if (d.at_end and d.olen > len(contigs[j].seq)) or (
-                not d.at_end and d.olen > len(contigs[i].seq)
-            ):
-                continue
-            potential.append((i, j, d))
+    for i, j in sorted(cand):
+        d = try_merge_contigs(
+            contigs[i], contigs[j], min_olen, node_seq_map, len_min
+        )
+        if not d.can:
+            continue
+        if (d.at_end and d.olen > len(contigs[j].seq)) or (
+            not d.at_end and d.olen > len(contigs[i].seq)
+        ):
+            continue
+        potential.append((i, j, d))
 
     # best candidate per (i, at_end) by score then length (:3123-3148)
     by_i: Dict[int, Dict[bool, Tuple[int, int, MergeDecision]]] = {}
