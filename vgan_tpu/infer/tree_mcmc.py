@@ -126,9 +126,20 @@ def hky25(t, con, freqs: Dict[str, float]):
 # ---------------------------------------------------------------------------
 # tree walk (updatePosition)
 # ---------------------------------------------------------------------------
-WALK_HOPS = 32  # fixed bound (the C++ loop is unbounded; moves rarely
+WALK_HOPS = 32  # max bound (the C++ loop is unbounded; moves rarely
                 # need more than ~10 branch hops)
 POST_BURN_HOPS = 8  # post-burn-in proposal sd <= 1 -> short walks
+
+
+def burn_walk_hops(num_paths: int) -> int:
+    """Burn-in walk bound adapted to the annealing start sd: a move of
+    |N(0, init_sd)| exhausts within ~init_sd branch crossings, so
+    4*init_sd + 8 hops truncates with probability < 1e-10 per proposal
+    (the reference's loop is unbounded; WALK_HOPS caps it the same way
+    32 always did). For the default small-tree init_sd = 3 this cuts
+    the 32-hop burn body by ~1/3 of its unrolled ops."""
+    init_sd = 3.0 if num_paths <= 30 else num_paths * (3.0 / 30.0)
+    return int(min(WALK_HOPS, max(POST_BURN_HOPS, 4 * init_sd + 8)))
 
 
 def pack_tree_table(tree: TreeArrays):
@@ -480,7 +491,7 @@ def run_tree_mcmc_chains(
     split = min(burn + 1, total)
     recs_all = []
     ones_mask = jnp.ones((C, k), bool)
-    for (p0, p1, hops) in ((0, split, WALK_HOPS),
+    for (p0, p1, hops) in ((0, split, burn_walk_hops(num_paths)),
                            (split, total, POST_BURN_HOPS)):
         i0 = p0
         while i0 < p1:
@@ -592,7 +603,7 @@ def run_tree_mcmc_ksweep(
     total = max_iter + 1
     split = min(burn + 1, total)
     recs_all = []
-    for (p0, p1, hops) in ((0, split, WALK_HOPS),
+    for (p0, p1, hops) in ((0, split, burn_walk_hops(num_paths)),
                            (split, total, POST_BURN_HOPS)):
         i0 = p0
         while i0 < p1:
@@ -815,7 +826,7 @@ def run_tree_mcmc_checkpointed(
         # checkpointed run matches the vmapped production sampler
         if start < burn + 1:
             end = min(end, burn + 1)
-            hops = WALK_HOPS
+            hops = burn_walk_hops(num_paths)
         else:
             hops = POST_BURN_HOPS
         iters = jnp.arange(start, end)
