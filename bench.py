@@ -355,13 +355,17 @@ def bench_realdb_mapping(mapper, all_reads):
 
 def bench_haplocart_realdb(db, mapper, all_reads):
     """HaploCart e2e + host-oracle ratio at the real 5,179-path scale
-    (VERDICT r3 #1)."""
+    (VERDICT r3 #1). r5: e2e runs the SAME 16k-read workload as the
+    mapping metric (it was 8k), so the two are directly comparable —
+    the streaming pipeline's fixed scoring-flush tail (~0.15s) is a
+    per-run cost, not per-read, and the oracle runs on its 250-read
+    subset either way."""
     from vgan_tpu.pipelines.haplocart_runner import (
         HaplocartConfig,
         run_sample,
     )
 
-    reads = all_reads[:N_READS_REAL]
+    reads = all_reads
     fd, fq = tempfile.mkstemp(suffix=".fq")
     with os.fdopen(fd, "w") as f:
         for r in reads:
@@ -388,9 +392,15 @@ def bench_haplocart_realdb(db, mapper, all_reads):
 
         cfg_p = HaplocartConfig(db_dir="", fq1=fq_small, quiet=True,
                                 precise=True)
-        t0 = time.perf_counter()
-        pred_p, _n, vec_p = run_sample(cfg_p, db, mapper, "precise")
-        host_rps = n_oracle / (time.perf_counter() - t0)
+        # best-of-3: the oracle's mapping leg rides the tunnel, so a
+        # single sample in a slow window corrupts the ratio (r5 saw
+        # 21.9 vs 188 reads/s on identical code)
+        host_dt = math.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pred_p, _n, vec_p = run_sample(cfg_p, db, mapper, "precise")
+            host_dt = min(host_dt, time.perf_counter() - t0)
+        host_rps = n_oracle / host_dt
         # same argmax on the oracle's own subset
         cfg_ds = HaplocartConfig(db_dir="", fq1=fq_small, quiet=True)
         pred_ds, _n, vec_ds = run_sample(cfg_ds, db, mapper, "sub")
