@@ -413,8 +413,15 @@ def score_table_stream(
     # not mapping count alone: every pending row pads to the flush max
     # S at concat, so long-read chunks would otherwise multiply the
     # host-copy and device working set (ADVICE r4). 2^27 cells equals
-    # the old 2^20-mapping cap at the typical S=128 bucket.
-    FLUSH_MAPPINGS = 1 << 20
+    # a 2^20-mapping flush at the typical S=128 bucket.
+    # r5: the mapping threshold is ~2 chunks (was 2^20): dispatches are
+    # ASYNC, so flushing early overlaps the scorer's host build +
+    # device work with the next chunks' mapping instead of serializing
+    # a single big flush AFTER the last chunk (~0.15s tail at realdb
+    # scale -> tail is now just the final partial flush). The larger
+    # dispatch count stays negligible next to the mapper's own
+    # one-dispatch-per-chunk stream (1 scorer dispatch per 2 chunks).
+    FLUSH_MAPPINGS = 8192
     FLUSH_CELLS = 1 << 27
     pending: list = []
     pending_m = 0
