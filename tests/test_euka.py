@@ -159,6 +159,40 @@ def test_mcmc_handles_zero_likes():
     assert np.isfinite(res.estimate).all()
 
 
+def test_score_table_stream_matches_one_shot(toy_graph, toy_reads, toy_clades):
+    """The streaming scorer (r5: per-chunk accumulate over the mapper's
+    chunk generator) merges to the one-shot score_table result: ints
+    and per-read lists exactly, coverage to fp-summation tolerance."""
+    from vgan_tpu.mapper.batch_map import table_from_alignments
+
+    scorer = euka.EukaScorer(toy_graph, *toy_clades)
+    full = table_from_alignments(toy_reads)
+    one = scorer.score_table(full, min_mq=0, min_frag=1, min_bins=1,
+                             max_bins=3, entropy_threshold=0.5)
+    # chunked: split the table into 3 pieces like the chunk generator
+    n = full.n
+    cuts = [0, n // 3, 2 * n // 3, n]
+    parts = [
+        table_from_alignments(toy_reads[cuts[i]:cuts[i + 1]])
+        for i in range(3)
+    ]
+    streamed = scorer.score_table_stream(
+        iter(parts), min_mq=0, min_frag=1, min_bins=1, max_bins=3,
+        entropy_threshold=0.5,
+    )
+    np.testing.assert_array_equal(one.counts, streamed.counts)
+    np.testing.assert_array_equal(one.n_mapped, streamed.n_mapped)
+    np.testing.assert_array_equal(one.baseshift, streamed.baseshift)
+    assert one.detected == streamed.detected
+    for c in range(len(one.clades)):
+        np.testing.assert_allclose(one.clade_like[c],
+                                   streamed.clade_like[c], rtol=1e-12)
+        assert one.insert_sizes[c] == streamed.insert_sizes[c]
+        assert one.frag_names[c] == streamed.frag_names[c]
+        np.testing.assert_allclose(one.coverage[c], streamed.coverage[c],
+                                   rtol=1e-12)
+
+
 def test_abundance_checkpointed_resumes(tmp_path, monkeypatch):
     """Segmented abundance sampler: identical trace to the straight
     run, and a killed run resumes from its snapshot to the same

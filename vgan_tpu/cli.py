@@ -310,6 +310,8 @@ def cmd_euka(args: List[str]) -> int:
 
     from .parallel import multihost
 
+    table = None
+    stream_reads = None
     if gamfile:
         with PROFILER.stage("read_gam"):
             alignments = gamio.read_gam(gamfile)
@@ -324,41 +326,51 @@ def cmd_euka(args: List[str]) -> int:
             reads = multihost.shard_reads(reads)
         from .mapper.batch_map import load_native
 
-        table = None
         with PROFILER.stage("map", items=len(reads) + len(r2)):
             if r2 and not interleaved and len(r2) == len(reads):
                 alignments = mapper.map_read_pairs(reads, r2)
             elif interleaved and not r2 and len(reads) % 2 == 0:
                 alignments = mapper.map_read_pairs(reads[0::2], reads[1::2])
             elif load_native() is not None:
-                # columnar production path: no per-read objects
-                table = mapper.map_reads_table(reads + r2)
+                # columnar production path: no per-read objects; the
+                # scorer streams over mapper chunks (r5) so scoring
+                # overlaps mapping
+                stream_reads = reads + r2
                 alignments = []
             else:
                 alignments = mapper.map_reads(reads + r2)
     scorer = ek.EukaScorer(graph, clades, chunks, damage=dm, length_to_prof=ltp)
-    if table is None and alignments:
-        from .mapper.batch_map import load_native
-
-        if load_native() is not None:
-            from .mapper.batch_map import table_from_alignments
-
-            table = table_from_alignments(alignments)
-    with PROFILER.stage(
-        "score", items=(table.n if table is not None else len(alignments))
-    ):
-        if table is not None:
-            res = scorer.score_table(
-                table, min_mq=min_mq, min_frag=min_frag,
-                min_bins=min_bins, max_bins=max_bins,
-                entropy_threshold=entropy,
+    if not gamfile and stream_reads is not None:
+        with PROFILER.stage("map+score", items=len(stream_reads)):
+            res = scorer.score_table_stream(
+                mapper.map_table_chunks(stream_reads),
+                min_mq=min_mq, min_frag=min_frag, min_bins=min_bins,
+                max_bins=max_bins, entropy_threshold=entropy,
             )
-        else:
-            res = scorer.score(
-                alignments, min_mq=min_mq, min_frag=min_frag,
-                min_bins=min_bins, max_bins=max_bins,
-                entropy_threshold=entropy,
-            )
+    else:
+        if table is None and alignments:
+            from .mapper.batch_map import load_native
+
+            if load_native() is not None:
+                from .mapper.batch_map import table_from_alignments
+
+                table = table_from_alignments(alignments)
+        with PROFILER.stage(
+            "score",
+            items=(table.n if table is not None else len(alignments)),
+        ):
+            if table is not None:
+                res = scorer.score_table(
+                    table, min_mq=min_mq, min_frag=min_frag,
+                    min_bins=min_bins, max_bins=max_bins,
+                    entropy_threshold=entropy,
+                )
+            else:
+                res = scorer.score(
+                    alignments, min_mq=min_mq, min_frag=min_frag,
+                    min_bins=min_bins, max_bins=max_bins,
+                    entropy_threshold=entropy,
+                )
     if multihost.active():
         # global accumulators: counters/coverage/baseshift psum across
         # ranks, per-read lists concatenate, detection re-runs

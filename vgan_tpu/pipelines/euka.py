@@ -548,6 +548,61 @@ class EukaScorer:
             baseshift=baseshift, detected=detected,
         )
 
+    def score_table_stream(
+        self,
+        tables,
+        min_mq: int = 29,
+        min_frag: int = 10,
+        min_bins: int = 6,
+        max_bins: int = 0,
+        entropy_threshold: float = 1.17,
+    ) -> EukaResult:
+        """Streaming twin of score_table: consumes an iterator of
+        AlignmentTables (the mapper's map_table_chunks generator) and
+        accumulates per-chunk partial results, so the scorer's host
+        assembly + device dispatch overlap the next chunks' mapping —
+        the euka analogue of hc_columnar.score_table_stream (r5).
+        Every roll-up is additive and chunks arrive in read order, so
+        ints/lists merge exactly; per-bin coverage sums per-chunk
+        partials (same values up to fp summation order — parity-tested
+        with allclose). Detection runs once on the merged result."""
+        agg: EukaResult = None
+        nC = len(self.clades)
+        for t in tables:
+            res = self.score_table(
+                t, min_mq=min_mq, min_frag=min_frag, min_bins=1,
+                max_bins=max_bins, entropy_threshold=entropy_threshold,
+            )
+            if agg is None:
+                agg = res
+                continue
+            agg.counts += res.counts
+            agg.n_mapped += res.n_mapped
+            agg.baseshift += res.baseshift
+            for c in range(nC):
+                agg.clade_like[c].extend(res.clade_like[c])
+                agg.insert_sizes[c].extend(res.insert_sizes[c])
+                agg.frag_names[c].extend(res.frag_names[c])
+                for j in range(len(agg.coverage[c])):
+                    agg.coverage[c][j] += res.coverage[c][j]
+        if agg is None:
+            return EukaResult(
+                clades=self.clades, chunks=self.chunks,
+                coverage=[[0.0] * len(row) for row in self.chunks],
+                counts=np.zeros(nC, dtype=np.int64),
+                n_mapped=np.zeros(nC, dtype=np.int64),
+                clade_like=[[] for _ in range(nC)],
+                insert_sizes=[[] for _ in range(nC)],
+                frag_names=[[] for _ in range(nC)],
+                baseshift=np.zeros((nC, 2 * self.ltp, 16), dtype=np.int64),
+                detected=[],
+            )
+        agg.detected = detect_clades(
+            self.chunks, agg.coverage, agg.counts, min_frag, min_bins,
+            max_bins, entropy_threshold,
+        )
+        return agg
+
     # ------------------------------------------------------------------
     def _score_device(self, batch, recon):
         B = len(batch)
