@@ -414,13 +414,15 @@ def score_table_stream(
     # S at concat, so long-read chunks would otherwise multiply the
     # host-copy and device working set (ADVICE r4). 2^27 cells equals
     # a 2^20-mapping flush at the typical S=128 bucket.
-    # r5: the mapping threshold is ~2 chunks (was 2^20): dispatches are
-    # ASYNC, so flushing early overlaps the scorer's host build +
-    # device work with the next chunks' mapping instead of serializing
-    # a single big flush AFTER the last chunk (~0.15s tail at realdb
-    # scale -> tail is now just the final partial flush). The larger
-    # dispatch count stays negligible next to the mapper's own
-    # one-dispatch-per-chunk stream (1 scorer dispatch per 2 chunks).
+    # r5: the mapping-row threshold dropped 2^20 -> 8192 (at ~13 node-
+    # mapping rows per hc read that is ~600 reads, a fraction of a 4096-
+    # read chunk): dispatches are ASYNC, so flushing early overlaps the
+    # scorer's host build + device work with the next chunks' mapping
+    # instead of serializing one big flush AFTER the last chunk (~0.15s
+    # tail at realdb scale). A 16k-read run now issues ~25 scorer
+    # dispatches — measured FASTER end to end (hc_realdb e2e 14.5k ->
+    # 20.3k reads/s) because the per-dispatch enqueue is cheap next to
+    # the overlapped tail it removes.
     FLUSH_MAPPINGS = 8192
     FLUSH_CELLS = 1 << 27
     pending: list = []
