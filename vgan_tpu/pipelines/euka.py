@@ -469,12 +469,15 @@ class EukaScorer:
         ).astype(np.int64)
         dist_tab = np.array([c.dist for c in self.clades], dtype=np.float64)
         pair_dist = dist_tab[c_n]
-        il, nl = self._score_arrays(
+        il_d, nl_d = self._score_arrays(
             jnp.asarray(g), jnp.asarray(r), jnp.asarray(q),
             jnp.asarray(n_pos), jnp.asarray(L_read),
             jnp.asarray(pair_dist), jnp.asarray(valid),
         )
-        il, nl = np.asarray(il), np.asarray(nl)
+        # ONE blocked download: each np.asarray pays a full tunnel
+        # round trip (~0.17s measured), and il/nl are tiny
+        both = np.asarray(jnp.stack([il_d, nl_d]))
+        il, nl = both[0], both[1]
         guards.check_loglik(il, "euka model-1 log-likelihood")
         guards.check_loglik(nl, "euka model-2 log-likelihood")
 

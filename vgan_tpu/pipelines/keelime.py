@@ -1401,17 +1401,23 @@ def try_merge_contigs(
     min_olen: int,
     node_seq_map: Dict[int, Tuple[str, int, int]],
     len_min: float,
+    pre: Optional[Tuple] = None,
 ) -> MergeDecision:
-    """tryMergeContigs (src/assembly.cpp:2372-3065)."""
+    """tryMergeContigs (src/assembly.cpp:2372-3065). `pre` optionally
+    supplies the four overlap scans precomputed by the caller's
+    threaded native batch (identical winners)."""
     res = MergeDecision()
     jset = set(cj.node_ids)
     common = [i for i in ci.node_ids if i in jset]
     if not common:
         return res
-    end_r = overlap_score(ci.ry, cj.ry, min_olen, len_min)
-    begin_r = overlap_score(cj.ry, ci.ry, min_olen, len_min)
-    seq_te = overlap_score(ci.seq, cj.seq, min_olen, len_min)
-    seq_ts = overlap_score(cj.seq, ci.seq, min_olen, len_min)
+    if pre is not None:
+        end_r, begin_r, seq_te, seq_ts = pre
+    else:
+        end_r = overlap_score(ci.ry, cj.ry, min_olen, len_min)
+        begin_r = overlap_score(cj.ry, ci.ry, min_olen, len_min)
+        seq_te = overlap_score(ci.seq, cj.seq, min_olen, len_min)
+        seq_ts = overlap_score(cj.seq, ci.seq, min_olen, len_min)
     if (seq_te[0] > end_r[0] and seq_te[1] > end_r[1]) or (
         seq_ts[0] > begin_r[0] and seq_ts[1] > begin_r[1]
     ):
@@ -1514,10 +1520,29 @@ def merge_overlapping_contigs(
         for a in range(len(lst)):
             for b in range(a + 1, len(lst)):
                 cand.add((lst[a], lst[b]))
+    pairs_sorted = sorted(cand)
+    # the four overlap scans per candidate pair run as ONE threaded
+    # native batch (identical winners to the per-pair scorer); falls
+    # back to in-call scoring when the native lib is absent
+    pre_by_pair = None
+    if pairs_sorted:
+        quad = []
+        for i, j in pairs_sorted:
+            quad.append((contigs[i].ry, contigs[j].ry))
+            quad.append((contigs[j].ry, contigs[i].ry))
+            quad.append((contigs[i].seq, contigs[j].seq))
+            quad.append((contigs[j].seq, contigs[i].seq))
+        scored = overlap_best_batch_native(quad, min_olen, len_min)
+        if scored is not None:
+            pre_by_pair = [
+                tuple(scored[4 * t : 4 * t + 4])
+                for t in range(len(pairs_sorted))
+            ]
     potential: List[Tuple[int, int, MergeDecision]] = []
-    for i, j in sorted(cand):
+    for t, (i, j) in enumerate(pairs_sorted):
         d = try_merge_contigs(
-            contigs[i], contigs[j], min_olen, node_seq_map, len_min
+            contigs[i], contigs[j], min_olen, node_seq_map, len_min,
+            pre=pre_by_pair[t] if pre_by_pair is not None else None,
         )
         if not d.can:
             continue
