@@ -950,10 +950,18 @@ def main():
     errors: dict = {}
     for name, _fn in PHASES:
         _note(name)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--phase", name],
-            capture_output=True, text=True, timeout=3600,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--phase", name],
+                capture_output=True, text=True, timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            # a hung phase (tunnel stall) must not discard every
+            # completed phase — record it like a nonzero exit
+            errors[name] = "phase timed out after 3600s"
+            _note(f"{name} TIMED OUT")
+            continue
         lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
         if proc.returncode != 0 or not lines:
             errors[name] = (proc.stderr or "no output").strip()[-800:]

@@ -1,5 +1,7 @@
 """euka pipeline tests: loaders on the real DB metadata, device scorer
 vs a literal oracle of readGAM3's per-base loop, abundance MCMC."""
+import os
+
 import numpy as np
 import pytest
 
@@ -206,10 +208,13 @@ def test_abundance_checkpointed_resumes(tmp_path, monkeypatch):
     init = np.array([0.4, 0.35, 0.25])
     kw = dict(n_iter=3000, burnin=100, seed=7)
     straight = am.run_mcmc(n, slog, init, **kw)
-    ckpt = str(tmp_path / "ab.npz")
+    # suffix-less path: np.savez writes <path>.npz, and resume must
+    # look there (a bare-path exists() check made resume a silent no-op)
+    ckpt = str(tmp_path / "ab")
     segmented = am.run_mcmc_checkpointed(
         n, slog, init, checkpoint_path=ckpt, checkpoint_every=700, **kw
     )
+    assert os.path.exists(ckpt + ".npz")
     np.testing.assert_allclose(straight.samples, segmented.samples)
     np.testing.assert_allclose(straight.estimate, segmented.estimate)
     # genuine kill-and-resume: a fresh run dies after 2 segments...

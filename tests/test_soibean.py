@@ -333,7 +333,8 @@ def test_checkpointed_mcmc_resumes(toy_graph, toy_reads, tmp_path):
         t, path_map, counts25, src, freqs, checkpoint_path=None,
         checkpoint_every=1000, **kw,
     )
-    ckpt = str(tmp_path / "chain.npz")
+    # suffix-less: np.savez writes <path>.npz and resume must look there
+    ckpt = str(tmp_path / "chain")
     # run the first segment only (checkpoint_every < total), then resume
     partial_run = run_tree_mcmc_checkpointed(
         t, path_map, counts25, src, freqs, checkpoint_path=ckpt,

@@ -145,6 +145,11 @@ def run_mcmc_checkpointed(
     is stream-invariant)."""
     import os
 
+    # np.savez appends .npz to suffix-less paths; normalize so the
+    # resume check looks at the file that was actually written
+    if checkpoint_path and not checkpoint_path.endswith(".npz"):
+        checkpoint_path += ".npz"
+
     n_reads_f = jnp.asarray(n_reads_per_taxon, F)
     const_ll = jnp.asarray(np.sum(sum_log_like_per_taxon), F)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_iter)

@@ -426,9 +426,15 @@ def _run_segment_batch(
 
 
 def _init_theta_for_key(key, k: int):
-    """Uniform random normalized start (`MCMC.h generateRandomNumbers`)."""
+    """Uniform random normalized start (`MCMC.h generateRandomNumbers`).
+
+    Domain-separated from the per-iteration noise keys (fold_in(key,
+    iteration)): iterations never reach 2^31 - 1, so this fold can
+    never collide with an iteration's noise key (a fold_in(key, 17)
+    here would have made iteration 17's proposal noise a deterministic
+    function of the starting proportions)."""
     return jax.random.dirichlet(
-        jax.random.fold_in(key, 17), jnp.ones(k, dtype=jnp.float32)
+        jax.random.fold_in(key, 2**31 - 1), jnp.ones(k, dtype=jnp.float32)
     ).astype(F)
 
 
@@ -779,6 +785,11 @@ def run_tree_mcmc_checkpointed(
     iterations; rerunning with the same path continues where the last
     snapshot left off."""
     import os
+
+    # np.savez appends .npz to suffix-less paths; normalize so the
+    # resume check looks at the file that was actually written
+    if checkpoint_path and not checkpoint_path.endswith(".npz"):
+        checkpoint_path += ".npz"
 
     sd = sd_schedule(max_iter, burn, num_paths)
     freq_arr = np.asarray([freqs[n] for n in ["A", "C", "G", "T", "R", "Y", "M"]])

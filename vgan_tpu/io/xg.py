@@ -392,7 +392,8 @@ def load_packed_graph_xg(path: str):
             f"{path}: skipped {len(rev_skipped)} reverse-strand edge "
             f"record(s) (e.g. records {sample}); the .xg single-bit "
             "orientation encoding is ambiguous here — convert the "
-            "graph via GFA or .vg for full inversion support",
+            "graph via GFA or .vg for full inversion support. Reads "
+            "spanning the affected adjacencies will not map.",
             stacklevel=2,
         )
     paths = []
@@ -402,5 +403,6 @@ def load_packed_graph_xg(path: str):
         ]
         paths.append((name, steps))
     return GBZ(node_seqs, edges, paths).to_packed_graph(
-        meta={"source": "xg", "xg_version": x["version"]}
+        meta={"source": "xg", "xg_version": x["version"],
+              "skipped_reverse_edges": len(rev_skipped)}
     )

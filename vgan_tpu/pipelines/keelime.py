@@ -857,6 +857,13 @@ def initial_overlap(
     pj = order[flat]
     keep = pi != pj  # drop self-pairs
     pi, pj = pi[keep], pj[keep]
+    # restore the former (i ascending, j ascending) emission order: the
+    # overlap DAG's adjacency INSERTION order is a live tie-breaker in
+    # merge_all_paths' score-sorted neighbor traversal (stable sort),
+    # and equal scores are common (content-interned duplicates) — the
+    # pair SET alone is not enough for output parity
+    o = np.lexsort((pj, pi))
+    pi, pj = pi[o], pj[o]
     inc = len(pi)
     if inc == 0:
         inc = 1
