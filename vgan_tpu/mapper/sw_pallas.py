@@ -25,11 +25,12 @@ f32 ops per DP cell: score 4, diag 5, E 3, H 3, exact-F prefix max
 best-reduce ~1. One v5e core's VPU peak is ~3.85e12 f32 ops/s
 (4 SIMD subunits x (8x128) lanes x 940 MHz). BENCH_r04 pinned
 35.3 GCUPS => 35.3e9 * 46 = 1.6e12 ops/s = 42% of VPU
-speed-of-light (r3 pinned 37.0 / 44% — the spread is the tunnel's
+speed-of-light (r3 pinned 37.0 / 44% — the spread was the tunnel's
 dispatch regime; from r5 the bench runs this phase in a FRESH
-subprocess at dispatch-count ~0, which pins the regime and stops the
-number drifting round-over-round. Always quote the pinned bench
-artifact, not one-off runs). The gap to peak is the serial column scan's
+subprocess at dispatch-count ~0, which pins the regime: r5 trials
+measured 35.9-41.2 GCUPS / 0.43-0.49, the residual spread being
+tunnel slow windows. Always quote the pinned bench artifact, not
+one-off runs). The gap to peak is the serial column scan's
 load/store of the [R+1, B] carry between unrolled blocks (HBM/VMEM
 traffic XLA cannot fully fuse); unrolling 4 columns per scan step
 already cut that traffic ~4x. A Pallas grid version would keep the
