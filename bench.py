@@ -677,7 +677,34 @@ def bench_soibean_mcmc():
     trace = run(100)
     dt = time.perf_counter() - t0
     assert np.isfinite(trace.loglike).all()
-    return C * n_iter / dt
+    standalone_ips = C * n_iter / dt
+
+    # the vmapped k-sweep (r5): k = 1..3 x C chains as ONE masked
+    # batch — the reference runs each k sequentially
+    # (`src/soibean.cpp:745-840`), so its wall-clock for the sweep is
+    # K x one k's; here the whole sweep costs ~one k's wall-clock
+    K = 3
+    sweep_iter = n_iter // 5 if not _SMOKE else n_iter
+    sweep_burn = max(sweep_iter // 7, 1)
+    srcs_k = [np.tile(leaves[:kk], (C, 1)).astype(np.int32)
+              for kk in range(1, K + 1)]
+    lls = [float(path_map[:, s[0, 0]].sum()) for s in srcs_k]
+    seeds_k = [np.arange(C) + 10 * kk for kk in range(1, K + 1)]
+
+    def run_sweep():
+        return tree_mcmc.run_tree_mcmc_ksweep(
+            tree, path_map, counts25, srcs_k, freqs, con=0.01,
+            max_iter=sweep_iter, burn=sweep_burn, num_paths=N,
+            init_logls=lls, seeds_per_k=seeds_k,
+        )
+
+    run_sweep()  # compile
+    t0 = time.perf_counter()
+    traces = run_sweep()
+    dt_sweep = time.perf_counter() - t0
+    assert all(np.isfinite(t.loglike).all() for t in traces)
+    sweep_ips = K * C * sweep_iter / dt_sweep
+    return standalone_ips, sweep_ips
 
 
 def bench_multihost_ratio():
@@ -855,7 +882,11 @@ def phase_euka_mcmc():
 
 
 def phase_soibean_mcmc():
-    return {"soibean_mcmc_iters_per_s": round(bench_soibean_mcmc(), 1)}
+    standalone, sweep = bench_soibean_mcmc()
+    return {
+        "soibean_mcmc_iters_per_s": round(standalone, 1),
+        "soibean_ksweep_iters_per_s": round(sweep, 1),
+    }
 
 
 def phase_soibean_e2e():
@@ -932,6 +963,7 @@ FIELD_ORDER = [
     "soibean_mcmc_e2e_iters_per_s", "soibean_mcmc_host_iters_per_s",
     "keelime_e2e_reads_per_s",
     "euka_mcmc_iters_per_s", "soibean_mcmc_iters_per_s",
+    "soibean_ksweep_iters_per_s",
     "sw_kernel_gcups", "sw_vpu_fraction", "backend",
 ]
 
